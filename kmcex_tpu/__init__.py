@@ -26,8 +26,8 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from kmcex_tpu.config import KParams  # noqa: E402
-from kmcex_tpu.model.kmodel import KModel, get_model  # noqa: E402
+from kmcex_tpu.model.kmodel import KModel, get_model, load_model  # noqa: E402
 
 __version__ = "0.1.0"
 
-__all__ = ["KParams", "KModel", "get_model", "__version__"]
+__all__ = ["KParams", "KModel", "get_model", "load_model", "__version__"]

@@ -1,0 +1,285 @@
+"""KMC database reader/writer (.kmc_pre / .kmc_suf).
+
+Vectorized NumPy rebuild of the vendored KMC 3.1.0 API the reference links
+against (/root/reference/kmc_api/kmc_file.{h,cpp}): parses both KMC1
+(version 0) and KMC2 (version 0x200) headers (kmc_file.cpp:177-292), decodes
+the full listing in one shot instead of per-record byte walking
+(kmc_file.cpp:428-515), and supports random-access lookups (CheckKmer,
+kmc_file.cpp:320-397) including the KMC2 signature-mapped bins.
+
+The writer emits KMC1-format databases, which makes this framework's counting
+engine a drop-in replacement for the external ``kmc`` binary the reference
+shells out to (main.cpp:137-140): anything that consumes a KMC1 DB — the
+reference kmcEx included — can read our output.
+
+Restrictions vs the vendored API: k <= 32 (one uint64 per k-mer; the
+reference CLI defaults to k=31 and its own uint64 utilities cap at 32), and
+mode 0 (integer counters) only — quake/float mode is legacy.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+from kmcex_tpu.core import signature as sig_mod
+
+_U64 = np.uint64
+
+_MARKER = b"KMCP"
+_MARKER_SUF = b"KMCS"
+
+
+def counter_size_for(cs: int) -> int:
+    """Counter byte width for a max counter value (matches KMC's choice)."""
+    for nbytes in (1, 2, 3, 4):
+        if cs < (1 << (8 * nbytes)):
+            return nbytes
+    return 4
+
+
+def lut_prefix_len_for(k: int) -> int:
+    """A prefix length with (k-p)%4==0 so suffixes are whole bytes.  We use
+    the same rule as the rest store (largest p in [3,7], rest.hpp:78-83)."""
+    for p in range(7, 2, -1):
+        if (k - p) % 4 == 0:
+            return p
+    raise ValueError(f"no valid lut prefix length for k={k}")
+
+
+class KMCReader:
+    """Reads a KMC database into memory with vectorized decode."""
+
+    def __init__(self, path: str):
+        self.path = str(path)
+        pre = pathlib.Path(self.path + ".kmc_pre").read_bytes()
+        if pre[:4] != _MARKER or pre[-4:] != _MARKER:
+            raise ValueError(f"{self.path}.kmc_pre: bad KMCP markers")
+        self.kmc_version = int(np.frombuffer(pre[-12:-8], dtype=np.uint32)[0])
+        if self.kmc_version == 0:
+            self._parse_kmc1(pre)
+        elif self.kmc_version == 0x200:
+            self._parse_kmc2(pre)
+        else:
+            raise ValueError(f"unsupported KMC version 0x{self.kmc_version:x}")
+        if self.kmer_length > 32:
+            raise ValueError("k > 32 not supported (packed-uint64 k-mers)")
+        if self.mode != 0:
+            raise ValueError("quake/float counter mode not supported")
+        self.sufix_size = (self.kmer_length - self.lut_prefix_length) // 4
+        self.sufix_rec_size = self.sufix_size + self.counter_size
+        self._decoded: tuple[np.ndarray, np.ndarray] | None = None
+
+    # -- header parsing ------------------------------------------------------
+    def _parse_kmc1(self, pre: bytes) -> None:
+        # kmc_file.cpp:236-289: header_offset byte sits 8 bytes from EOF.
+        header_offset = pre[-8]
+        # size bookkeeping mirrors the reference: size = filesize-12 here.
+        size = len(pre) - 12
+        header_start = 4 + (size - header_offset)
+        hdr = np.frombuffer(pre, dtype="<u8", count=5, offset=header_start)
+        self.kmer_length = int(hdr[0] & 0xFFFFFFFF)
+        self.mode = int(hdr[0] >> 32)
+        self.counter_size = int(hdr[1] & 0xFFFFFFFF)
+        self.lut_prefix_length = int(hdr[1] >> 32)
+        self.min_count = int(hdr[2] & 0xFFFFFFFF)
+        self.max_count = int(hdr[2] >> 32)
+        self.total_kmers = int(hdr[3])
+        self.both_strands = (int(hdr[4]) & 0xF) != 1
+        self.max_count += int(hdr[4] & 0xFFFFFFFF00000000)
+        self.signature_len = 0
+        self.signature_map = None
+        n_lut = 1 << (2 * self.lut_prefix_length)
+        self._lut = np.frombuffer(pre, dtype="<u8", count=n_lut, offset=4).copy()
+
+    def _parse_kmc2(self, pre: bytes) -> None:
+        # kmc_file.cpp:188-234
+        header_offset = pre[-8]
+        size = len(pre) - 8 - 4  # without markers and header_offset field
+        hdr_start = len(pre) - (header_offset + 8)
+        u32 = np.frombuffer(pre, dtype="<u4", count=7, offset=hdr_start)
+        self.kmer_length = int(u32[0])
+        self.mode = int(u32[1])
+        self.counter_size = int(u32[2])
+        self.lut_prefix_length = int(u32[3])
+        self.signature_len = int(u32[4])
+        self.min_count = int(u32[5])
+        self.max_count = int(u32[6])
+        self.total_kmers = int(
+            np.frombuffer(pre, dtype="<u8", count=1, offset=hdr_start + 28)[0]
+        )
+        self.both_strands = pre[hdr_start + 36] == 0
+        sig_map_size = (1 << (2 * self.signature_len)) + 1
+        lut_area = size - (sig_map_size * 4 + header_offset + 8)
+        n_lut = lut_area // 8
+        self._lut = np.frombuffer(pre, dtype="<u8", count=n_lut + 1, offset=4).copy()
+        self._lut[n_lut] = self.total_kmers + 1  # sentinel (kmc_file.cpp:223)
+        self.single_lut_size = 1 << (2 * self.lut_prefix_length)
+        self.signature_map = np.frombuffer(
+            pre, dtype="<u4", count=sig_map_size, offset=4 + lut_area + 8
+        ).copy()
+
+    # -- listing -------------------------------------------------------------
+    def list_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the entire listing: (kmers u64 [n], counts u32 [n]) in
+        database storage order, filtered to [min_count, max_count]
+        (kmc_file.cpp:428-515)."""
+        if self._decoded is not None:
+            return self._decoded
+        suf = np.fromfile(self.path + ".kmc_suf", dtype=np.uint8)
+        if suf[:4].tobytes() != _MARKER_SUF or suf[-4:].tobytes() != _MARKER_SUF:
+            raise ValueError(f"{self.path}.kmc_suf: bad KMCS markers")
+        total = self.total_kmers
+        rec = self.sufix_rec_size
+        body = suf[4 : 4 + total * rec].reshape(total, rec) if total else np.zeros((0, rec), np.uint8)
+
+        # suffix bytes are MSB-first base pairs; accumulate big-endian.
+        suffix = np.zeros(total, dtype=_U64)
+        for j in range(self.sufix_size):
+            suffix = (suffix << _U64(8)) | body[:, j].astype(_U64)
+        # counter bytes little-endian (kmc_file.cpp:481-494)
+        counts = np.zeros(total, dtype=np.uint32)
+        for b in range(self.counter_size - 1, -1, -1):
+            counts = (counts << np.uint32(8)) | body[:, self.sufix_size + b].astype(np.uint32)
+
+        # prefix per record from the (flat) LUT: record r in slot i where
+        # lut[i] <= r < lut[i+1]; KMC2 masks the slot to the per-bin prefix
+        # (kmc_file.cpp:430,447-449).
+        if self.kmc_version == 0:
+            lut = self._lut
+            bounds = np.append(lut, total).astype(np.int64)
+        else:
+            lut = self._lut[:-1]
+            bounds = np.append(lut, total).astype(np.int64)
+        bounds = np.maximum.accumulate(bounds)
+        reps = np.diff(bounds)
+        # slots' k-mer prefix codes
+        slot_ids = np.arange(len(lut), dtype=np.int64)
+        prefix_mask = (1 << (2 * self.lut_prefix_length)) - 1
+        slot_prefix = (slot_ids & prefix_mask).astype(_U64)
+        prefixes = np.repeat(slot_prefix, reps[: len(lut)])
+        if len(prefixes) < total:  # records past the last boundary
+            pad = np.full(total - len(prefixes), slot_prefix[-1] if len(lut) else 0, dtype=_U64)
+            prefixes = np.concatenate([prefixes, pad])
+        prefixes = prefixes[:total]
+
+        kmers = (prefixes << _U64(2 * 4 * self.sufix_size)) | suffix
+        keep = (counts >= self.min_count) & (counts <= self.max_count)
+        self._decoded = (kmers[keep], counts[keep].astype(np.uint32))
+        return self._decoded
+
+    # -- random access (CheckKmer, kmc_file.cpp:320-397) ----------------------
+    def check_kmers(self, kmers_u64: np.ndarray) -> np.ndarray:
+        """Batched CheckKmer: exact counts for canonical k-mers, 0 if absent.
+        Callers canonicalize (the vendored API leaves that to the caller too)."""
+        kmers = np.asarray(kmers_u64, dtype=_U64)
+        suf_bits = _U64(2 * 4 * self.sufix_size)
+        prefixes = (kmers >> suf_bits).astype(np.int64)
+        suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
+
+        if self.kmc_version == 0:
+            lut = self._lut
+            lo = lut[prefixes].astype(np.int64)
+            hi_src = np.append(lut, self.total_kmers)[prefixes + 1].astype(np.int64)
+        else:
+            sigs = sig_mod.signatures(kmers, self.kmer_length, self.signature_len)
+            bin_start = self.signature_map[sigs].astype(np.int64) * self.single_lut_size
+            lo = self._lut[bin_start + prefixes].astype(np.int64)
+            hi_src = self._lut[bin_start + prefixes + 1].astype(np.int64)
+        hi = hi_src
+
+        # Need suffixes sorted within [lo, hi): they are, by format. Use the
+        # decoded suffix array for the search.
+        all_kmers, all_counts = self.list_all()
+        suffix_sorted = all_kmers & ((_U64(1) << suf_bits) - _U64(1))
+
+        out = np.zeros(len(kmers), dtype=np.uint32)
+        # per-query binary search (vectorized via searchsorted on slices is
+        # awkward; do a masked loop over log2 range instead)
+        lo_i = lo.copy()
+        hi_i = hi.copy()  # exclusive
+        # classic vectorized binary search
+        for _ in range(64):
+            active = lo_i < hi_i
+            if not active.any():
+                break
+            mid = (lo_i + hi_i) // 2
+            mid_c = np.clip(mid, 0, len(suffix_sorted) - 1)
+            mv = suffix_sorted[mid_c]
+            go_right = active & (mv < suffixes)
+            lo_i = np.where(go_right, mid + 1, lo_i)
+            hi_i = np.where(active & ~go_right, mid, hi_i)
+        found = (lo_i < hi) & (lo_i >= 0) & (lo_i < len(suffix_sorted))
+        pos = np.clip(lo_i, 0, max(len(suffix_sorted) - 1, 0))
+        if len(suffix_sorted):
+            found &= suffix_sorted[pos] == suffixes
+            out[found] = all_counts[pos[found]]
+        return out
+
+
+def write_kmc1(
+    path: str,
+    kmers_u64: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    min_count: int = 1,
+    max_count: int = 0xFFFFFFFF,
+    counter_size: int | None = None,
+    lut_prefix_length: int | None = None,
+) -> None:
+    """Write a KMC1-format database readable by the vendored KMC API.
+
+    ``kmers_u64`` must be canonical and sorted ascending (KMC1 storage order:
+    prefix-LUT index then suffix).  Layout per kmc_file.cpp:236-289: .kmc_pre
+    = KMCP | LUT u64[4^p] | header (5 u64 + 4 pad) | header_offset u32 |
+    version u32 (=0) | KMCP; .kmc_suf = KMCS | records | KMCS with records =
+    suffix bytes (MSB-first bases) + counter (LE)."""
+    kmers = np.ascontiguousarray(kmers_u64, dtype=_U64)
+    counts = np.ascontiguousarray(counts, dtype=np.uint64)
+    if len(kmers) > 1 and not (kmers[1:] > kmers[:-1]).all():
+        raise ValueError("kmers must be strictly ascending")
+    p = lut_prefix_length or lut_prefix_len_for(k)
+    data_max = int(counts.max()) if len(counts) else 1
+    bound = data_max if max_count == 0xFFFFFFFF else max(data_max, int(max_count))
+    cbytes = counter_size or counter_size_for(bound)
+    n_lut = 1 << (2 * p)
+    suf_bases = k - p
+    sufix_size = suf_bases // 4
+    total = len(kmers)
+
+    prefixes = (kmers >> _U64(2 * suf_bases)).astype(np.int64)
+    # lut[i] = first record index with prefix i
+    lut_full = np.zeros(n_lut, dtype=np.uint64)
+    cnts = np.bincount(prefixes, minlength=n_lut).astype(np.uint64)
+    lut_full[1:] = np.cumsum(cnts)[:-1]
+
+    header = np.zeros(5, dtype=np.uint64)
+    header[0] = _U64(k)  # mode 0 in high bits
+    header[1] = _U64(cbytes) | (_U64(p) << _U64(32))
+    header[2] = _U64(min_count) | (_U64(min(max_count, 0xFFFFFFFF)) << _U64(32))
+    header[3] = _U64(total)
+    header[4] = _U64(0)  # both_strands flag byte 0 => canonical
+
+    with open(path + ".kmc_pre", "wb") as f:
+        f.write(_MARKER)
+        lut_full.astype("<u8").tofile(f)
+        header.astype("<u8").tofile(f)
+        f.write(b"\x00" * 4)  # pad: header area (44B) stays u64-aligned
+        # Trailer order per kmc_file.cpp:180-193: version at EOF-12,
+        # header_offset's first byte at EOF-8, closing marker at EOF-4.
+        np.array([0], dtype="<u4").tofile(f)  # kmc_version = 0 (KMC1)
+        np.array([48], dtype="<u4").tofile(f)  # header_offset: 44B header + 4
+        f.write(_MARKER)
+
+    suffix = kmers & ((_U64(1) << _U64(2 * suf_bases)) - _U64(1))
+    rec = np.zeros((total, sufix_size + cbytes), dtype=np.uint8)
+    for j in range(sufix_size):
+        shift = _U64(8 * (sufix_size - 1 - j))
+        rec[:, j] = ((suffix >> shift) & _U64(0xFF)).astype(np.uint8)
+    for b in range(cbytes):
+        rec[:, sufix_size + b] = ((counts >> _U64(8 * b)) & _U64(0xFF)).astype(np.uint8)
+    with open(path + ".kmc_suf", "wb") as f:
+        f.write(_MARKER_SUF)
+        rec.tofile(f)
+        f.write(_MARKER_SUF)

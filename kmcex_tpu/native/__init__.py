@@ -1,0 +1,139 @@
+"""ctypes bindings for the native runtime (see src/kmcex_native.cpp).
+
+The native library owns the order-dependent sequential encode (coupled
+bit-array insertion with the reference's rotating bucket schedule) and fast
+host-side Bloom insert/probe.  Device (TPU) paths live in query/ and count/;
+this module is the host half of the hybrid runtime.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from kmcex_tpu.native.build import build_native
+
+_lib = None
+
+
+def lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        path = build_native()
+        _lib = ctypes.CDLL(str(path))
+        _declare(_lib)
+    return _lib
+
+
+def _declare(L: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.kx_murmur64.restype = ctypes.c_uint64
+    L.kx_murmur64.argtypes = [u8p, ctypes.c_int, ctypes.c_uint32]
+    L.kx_insert_bloom.restype = None
+    L.kx_insert_bloom.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    L.kx_check_bloom.restype = None
+    L.kx_check_bloom.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+    ]
+    L.kx_encode_bitarrays.restype = None
+    L.kx_encode_bitarrays.argtypes = [
+        u64p, u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u32p, ctypes.c_int64,
+        u8p, u8p, ctypes.c_uint64,
+        u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int64,
+        i64p, i64p, ctypes.c_int,
+    ]
+    L.kx_find_bitarray.restype = None
+    L.kx_find_bitarray.argtypes = [
+        u64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, u8p, ctypes.c_uint64, i32p, ctypes.c_int,
+    ]
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def n_threads_default() -> int:
+    return max(1, os.cpu_count() or 1)
+
+
+def murmur64(data: bytes, seed: int) -> int:
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return int(lib().kx_murmur64(_ptr(buf, ctypes.c_uint8), len(data), seed))
+
+
+def insert_bloom(kmers: np.ndarray, k: int, bf: np.ndarray, bit_len: int,
+                 num_hash: int, substr_mode: int = 0, n_threads: int = 0) -> None:
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    assert bf.dtype == np.uint8 and bf.flags.c_contiguous
+    lib().kx_insert_bloom(
+        _ptr(kmers, ctypes.c_uint64), len(kmers), k,
+        _ptr(bf, ctypes.c_uint8), bit_len, num_hash, substr_mode,
+        n_threads or n_threads_default(),
+    )
+
+
+def check_bloom(kmers: np.ndarray, k: int, bf: np.ndarray, bit_len: int,
+                num_hash: int, substr_mode: int = 0, n_threads: int = 0) -> np.ndarray:
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    out = np.zeros(len(kmers), dtype=np.uint8)
+    lib().kx_check_bloom(
+        _ptr(kmers, ctypes.c_uint64), len(kmers), k,
+        _ptr(bf, ctypes.c_uint8), bit_len, num_hash, substr_mode,
+        _ptr(out, ctypes.c_uint8), n_threads or n_threads_default(),
+    )
+    return out.astype(bool)
+
+
+def encode_bitarrays(
+    kmers: np.ndarray, occs: np.ndarray, k: int, n_bits: int, n_hash: int,
+    occ2bin: np.ndarray, bit1: np.ndarray, bit2: np.ndarray, km_bit_size: int,
+    km_back: np.ndarray, back_bit_len: int, back_num_hash: int,
+    bucket_size: int = 1 << 18, n_threads: int = 0,
+) -> np.ndarray:
+    """Run the sequential encode; returns indices (into kmers) of the k-mers
+    that overflowed into the rest store, in reference hand-off order."""
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    occs = np.ascontiguousarray(occs, dtype=np.uint32)
+    occ2bin = np.ascontiguousarray(occ2bin, dtype=np.uint32)
+    n = len(kmers)
+    assert bit1.dtype == np.uint8 and bit1.flags.c_contiguous
+    assert bit2.dtype == np.uint8 and bit2.flags.c_contiguous
+    rest_idx = np.zeros(max(n, 1), dtype=np.int64)
+    rest_n = np.zeros(1, dtype=np.int64)
+    lib().kx_encode_bitarrays(
+        _ptr(kmers, ctypes.c_uint64), _ptr(occs, ctypes.c_uint32), n, k,
+        n_bits, n_hash,
+        _ptr(occ2bin, ctypes.c_uint32), len(occ2bin),
+        _ptr(bit1, ctypes.c_uint8), _ptr(bit2, ctypes.c_uint8), km_bit_size,
+        _ptr(km_back, ctypes.c_uint8), back_bit_len, back_num_hash,
+        bucket_size,
+        _ptr(rest_idx, ctypes.c_int64), _ptr(rest_n, ctypes.c_int64),
+        n_threads or n_threads_default(),
+    )
+    return rest_idx[: rest_n[0]].copy()
+
+
+def find_bitarray(kmers: np.ndarray, k: int, n_bits: int, n_hash: int,
+                  bit1: np.ndarray, bit2: np.ndarray, km_bit_size: int,
+                  n_threads: int = 0) -> np.ndarray:
+    """[n, n_bits] int32: decoded bin per (kmer, array), -1 where tags miss."""
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+    out = np.zeros((len(kmers), n_bits), dtype=np.int32)
+    lib().kx_find_bitarray(
+        _ptr(kmers, ctypes.c_uint64), len(kmers), k, n_bits, n_hash,
+        _ptr(bit1, ctypes.c_uint8), _ptr(bit2, ctypes.c_uint8), km_bit_size,
+        _ptr(out, ctypes.c_int32), n_threads or n_threads_default(),
+    )
+    return out

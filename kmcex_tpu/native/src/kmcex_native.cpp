@@ -1,0 +1,344 @@
+// kmcex_tpu native runtime — the host-side sequential pieces of the KModel
+// encode that are order-dependent and therefore cannot be expressed as
+// commutative device scatters (SURVEY.md §7 "Hard parts").
+//
+// Semantics replicate the reference encode pipeline exactly
+// (/root/reference/kmodel.hpp:473-622): the buffered bucket fill, the
+// rotating (bucket, round) -> array schedule, the in-bucket compaction
+// between rounds, and the per-insert conflict rule on the coupled bit
+// arrays.  All hashing is MurmurHash64A over the ASCII k-mer string with the
+// reference's fixed seed table (tools.hpp:9,16-50).  This file is new code:
+// the algorithms were reimplemented from observed behavior, not copied.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+const uint32_t kHashSeeds[128] = {
+    46757, 46769, 46771, 46807, 46811, 46817, 46819, 46829, 46831, 46853,
+    46861, 46867, 46877, 46889, 46901, 46919, 46933, 46957, 46993, 46997,
+    47017, 47041, 47051, 47057, 47059, 47087, 47093, 47111, 47119, 47123,
+    47129, 47137, 47143, 47147, 47149, 47161, 47189, 47207, 47221, 47237,
+    47251, 47269, 47279, 47287, 47293, 47297, 47303, 47309, 47317, 47339,
+    47351, 47353, 47363, 47381, 47387, 47389, 47407, 47417, 47419, 47431,
+    47441, 47459, 47491, 47497, 47501, 47507, 47513, 47521, 47527, 47533,
+    47543, 47563, 47569, 47581, 47591, 47599, 47609, 47623, 47629, 47639,
+    47653, 47657, 47659, 47681, 47699, 47701, 47711, 47713, 47717, 47737,
+    47741, 47743, 47777, 47779, 47791, 47797, 47807, 47809, 47819, 47837,
+    47843, 47857, 47869, 47881, 47903, 47911, 47917, 47933, 47939, 47947,
+    47951, 47963, 47969, 47977, 47981, 48017, 48023, 48029, 48049, 48073,
+    48079, 48091, 48109, 48119, 48121, 48131, 48157, 48163};
+
+// MurmurHash64A over a byte string (public-domain algorithm; parity with
+// tools.hpp:16-50 is golden-tested from Python).
+inline uint64_t murmur64(const void* key, int len, uint32_t seed) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  uint64_t h = seed ^ (uint64_t)((uint64_t)len * m);
+  const uint8_t* p = (const uint8_t*)key;
+  int nfull = len / 8;
+  for (int i = 0; i < nfull; i++) {
+    uint64_t k;
+    memcpy(&k, p + 8 * i, 8);  // little-endian load
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    h ^= k;
+    h *= m;
+  }
+  const uint8_t* tail = p + 8 * nfull;
+  switch (len & 7) {
+    case 7: h ^= (uint64_t)tail[6] << 48; // fallthrough
+    case 6: h ^= (uint64_t)tail[5] << 40; // fallthrough
+    case 5: h ^= (uint64_t)tail[4] << 32; // fallthrough
+    case 4: h ^= (uint64_t)tail[3] << 24; // fallthrough
+    case 3: h ^= (uint64_t)tail[2] << 16; // fallthrough
+    case 2: h ^= (uint64_t)tail[1] << 8;  // fallthrough
+    case 1: h ^= (uint64_t)tail[0]; h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
+}
+
+// Render the ASCII string of a 2-bit packed k-mer (MSB-first, A=0 C=1 G=2
+// T=3) — the hashes run over ASCII, not packed bits (kmodel.hpp:600).
+inline void to_ascii(uint64_t v, int k, char* out) {
+  static const char ACGT[4] = {'A', 'C', 'G', 'T'};
+  for (int i = k - 1; i >= 0; i--) {
+    out[i] = ACGT[v & 3];
+    v >>= 2;
+  }
+}
+
+// Atomic bit set, MSB-first within byte (kmodel.hpp:576-581).
+inline void set_bit(uint8_t* bits, uint64_t pos) {
+  uint64_t row = pos >> 3;
+  uint8_t x = (uint8_t)(1u << (7 - (pos & 7)));
+  __sync_fetch_and_or(bits + row, x);
+}
+
+inline bool check_bit(const uint8_t* bits, uint64_t pos) {
+  uint64_t row = pos >> 3;
+  return (bits[row] >> (7 - (pos & 7))) & 1;
+}
+
+struct KmerBuf {
+  uint64_t kmer;
+  uint32_t occ;      // raw counter; 0 marks "inserted, drop from buffer"
+  int64_t orig_idx;  // position in the caller's input stream
+};
+
+}  // namespace
+
+extern "C" {
+
+uint64_t kx_murmur64(const uint8_t* data, int len, uint32_t seed) {
+  return murmur64(data, len, seed);
+}
+
+// Batched Bloom-filter insert over packed k-mers.
+// substr_mode: 0 = hash the full k-mer string; 1 = hash the middle (k-2)-mer
+// kmer[1:k-1] (the "back" filters; kmodel.hpp:386-390,475).
+// Seeds are always kHashSeeds[0..num_hash).
+void kx_insert_bloom(const uint64_t* kmers, int64_t n, int k, uint8_t* bf,
+                     uint64_t bf_bitlen, int num_hash, int substr_mode,
+                     int n_threads) {
+  if (bf_bitlen == 0 || n == 0) return;
+  const int klen = substr_mode ? k - 2 : k;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    char buf[64];
+    uint64_t v = kmers[i];
+    if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
+    to_ascii(v, klen, buf);
+    for (int j = 0; j < num_hash; j++) {
+      set_bit(bf, murmur64(buf, klen, kHashSeeds[j]) % bf_bitlen);
+    }
+  }
+}
+
+// Batched Bloom-filter membership probe; out[i] = 1 if all bits set.
+void kx_check_bloom(const uint64_t* kmers, int64_t n, int k,
+                    const uint8_t* bf, uint64_t bf_bitlen, int num_hash,
+                    int substr_mode, uint8_t* out, int n_threads) {
+  if (bf_bitlen == 0) { memset(out, 0, n); return; }
+  const int klen = substr_mode ? k - 2 : k;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    char buf[64];
+    uint64_t v = kmers[i];
+    if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
+    to_ascii(v, klen, buf);
+    uint8_t ok = 1;
+    for (int j = 0; j < num_hash && ok; j++) {
+      ok = check_bit(bf, murmur64(buf, klen, kHashSeeds[j]) % bf_bitlen);
+    }
+    out[i] = ok;
+  }
+}
+
+namespace {
+
+// One attempted insert into coupled array `index` (kmodel.hpp:590-622):
+// bit j of `bin` goes to position murmur(ascii, seed[index][j]) % len in
+// bit_array_1, with the tag set in bit_array_2 — allowed only if no already-
+// tagged probe position disagrees with the bin bit.
+inline bool insert_to_array(const char* ascii, int k, uint32_t bin,
+                            uint8_t* bit1, uint8_t* bit2, uint64_t bit_len,
+                            int n_hash, const uint32_t* seeds) {
+  uint64_t pos[32];
+  uint32_t b = bin;
+  for (int j = 0; j < n_hash; j++) {
+    pos[j] = murmur64(ascii, k, seeds[j]) % bit_len;
+  }
+  for (int j = 0; j < n_hash; j++) {
+    bool v1 = check_bit(bit1, pos[j]);
+    bool v2 = check_bit(bit2, pos[j]);
+    if (v2 && v1 != (bool)((b >> j) & 1)) return false;
+  }
+  for (int j = 0; j < n_hash; j++) {
+    if ((b >> j) & 1) set_bit(bit1, pos[j]);
+    set_bit(bit2, pos[j]);
+  }
+  return true;
+}
+
+// In-bucket compaction between rounds (kmodel.hpp:529-540): move survivors
+// from the tail into freed slots; NOT order-preserving, and later rounds (and
+// the rest-store hand-off) see this order, so it must match exactly.
+inline int64_t reorder_buffer(KmerBuf* a, int64_t n) {
+  if (n == 0) return 0;
+  int64_t il = 0, ir = n - 1;
+  while (il < ir) {
+    while (il < ir && !a[ir].occ) ir--;
+    while (il < ir && a[il].occ) il++;
+    if (il < ir) {
+      a[il] = a[ir];
+      a[ir].occ = 0;
+    }
+  }
+  return a[il].occ ? il + 1 : 0;
+}
+
+}  // namespace
+
+// The full coupled-bit-array encode pass over the array-destined k-mer
+// stream, replicating the reference's buffered rotating schedule
+// (kmodel.hpp:508-573):
+//   * k-mers fill n_bits buckets of bucket_size each, in arrival order;
+//   * when all buckets are full, run n_bits rounds; in round t bucket i
+//     drains into array (i+t)%n_bits (arrays disjoint per round, so the
+//     reference's thread-per-bucket parallelism is order-deterministic);
+//   * every successful insert also ORs the middle (k-2)-mer into the global
+//     km_back Bloom filter (commutative, order-free);
+//   * survivors after all rounds go to the rest store in (bucket, slot)
+//     order — reported here as original stream indices.
+//
+// occs are raw counters; bins are looked up through occ2bin at insert time
+// (kmodel.hpp:545) via the caller-provided LUT.
+// bit1/bit2: n_bits contiguous arrays of (km_bit_size/8) bytes each.
+// rest_idx_out must have capacity n; *rest_n_out receives the count.
+void kx_encode_bitarrays(const uint64_t* kmers, const uint32_t* occs,
+                         int64_t n, int k, int n_bits, int n_hash,
+                         const uint32_t* occ2bin, int64_t occ2bin_len,
+                         uint8_t* bit1, uint8_t* bit2, uint64_t km_bit_size,
+                         uint8_t* km_back, uint64_t back_bit_len,
+                         int back_num_hash, int64_t bucket_size,
+                         int64_t* rest_idx_out, int64_t* rest_n_out,
+                         int n_threads) {
+  const uint64_t km_byte_size = km_bit_size >> 3;
+  const uint64_t mid_mask = (~0ULL) >> (64 - 2 * (k - 2));
+
+  // Per-array seed tables: seeds[i][j] = kHashSeeds[(i*n_hash + j) % 128]
+  // (kmodel.hpp:450-453).
+  std::vector<std::vector<uint32_t>> seeds(n_bits);
+  for (int i = 0; i < n_bits; i++) {
+    seeds[i].resize(n_hash);
+    for (int j = 0; j < n_hash; j++) seeds[i][j] = kHashSeeds[(i * n_hash + j) % 128];
+  }
+
+  std::vector<std::vector<KmerBuf>> buf(n_bits);
+  std::vector<int64_t> buf_n(n_bits, bucket_size);
+  for (int i = 0; i < n_bits; i++) buf[i].resize(bucket_size);
+
+  int64_t rest_n = 0;
+
+  // Drain one bucket into one array, sequentially (kmodel.hpp:543-555).
+  auto insert_array = [&](int bucket, int array, int64_t& real_n) {
+    KmerBuf* a = buf[bucket].data();
+    uint8_t* b1 = bit1 + (uint64_t)array * km_byte_size;
+    uint8_t* b2 = bit2 + (uint64_t)array * km_byte_size;
+    const uint32_t* sd = seeds[array].data();
+    char ascii[64];
+    for (int64_t c = 0; c < real_n; c++) {
+      to_ascii(a[c].kmer, k, ascii);
+      uint32_t occ = a[c].occ;
+      uint32_t bin = (occ < (uint64_t)occ2bin_len) ? occ2bin[occ] : 0;
+      if (insert_to_array(ascii, k, bin, b1, b2, km_bit_size, n_hash, sd)) {
+        // middle (k-2)-mer into km_back (kmodel.hpp:546-551)
+        uint64_t mid = (a[c].kmer >> 2) & mid_mask;
+        char mascii[64];
+        to_ascii(mid, k - 2, mascii);
+        for (int j = 0; j < back_num_hash; j++) {
+          set_bit(km_back, murmur64(mascii, k - 2, kHashSeeds[j]) % back_bit_len);
+        }
+        a[c].occ = 0;
+      }
+    }
+    real_n = reorder_buffer(a, real_n);
+  };
+
+  // Flush: n_bits rounds of the rotation, then survivors to rest
+  // (kmodel.hpp:557-573).
+  auto flush = [&]() {
+    for (int t = 0; t < n_bits; t++) {
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(dynamic, 1)
+#endif
+      for (int i = 0; i < n_bits; i++) {
+        insert_array(i, (i + t) % n_bits, buf_n[i]);
+      }
+    }
+    for (int i = 0; i < n_bits; i++) {
+      for (int64_t j = 0; j < buf_n[i]; j++) {
+        rest_idx_out[rest_n++] = buf[i][j].orig_idx;
+      }
+      buf_n[i] = bucket_size;
+    }
+  };
+
+  const int64_t cap = bucket_size * n_bits;
+  int64_t idx = 0;  // km_buff_idx
+  for (int64_t i = 0; i < n; i++) {
+    int64_t row = idx / bucket_size, col = idx % bucket_size;
+    buf[row][col].kmer = kmers[i];
+    buf[row][col].occ = occs[i];
+    buf[row][col].orig_idx = i;
+    idx++;
+    if (idx >= cap) {
+      flush();
+      idx = 0;
+    }
+  }
+  // Tail flush (kmodel.hpp:520-527): partial bucket lengths, then one flush.
+  {
+    int64_t row = (idx - 1) / bucket_size;  // idx==0 -> row 0, col -1 (C semantics)
+    int64_t col = (idx - 1) % bucket_size;
+    if (idx == 0) { row = 0; col = -1; }
+    buf_n[row] = col + 1;
+    for (int i = (int)row + 1; i < n_bits; i++) buf_n[i] = 0;
+    flush();
+  }
+  *rest_n_out = rest_n;
+}
+
+// Batched coupled-array probe (query side, kmodel.hpp:625-646): for each
+// k-mer and each array, if all n_hash tag bits are set, decode the value
+// bits little-endian into a bin.  out_bins[i*n_bits + a] = bin if the array
+// "hit" (all tags set), else -1.  Bin 0 hits are reported as 0 (caller
+// applies the reference's >0 / !=0 filters).
+void kx_find_bitarray(const uint64_t* kmers, int64_t n, int k, int n_bits,
+                      int n_hash, const uint8_t* bit1, const uint8_t* bit2,
+                      uint64_t km_bit_size, int32_t* out_bins, int n_threads) {
+  const uint64_t km_byte_size = km_bit_size >> 3;
+  std::vector<std::vector<uint32_t>> seeds(n_bits);
+  for (int i = 0; i < n_bits; i++) {
+    seeds[i].resize(n_hash);
+    for (int j = 0; j < n_hash; j++) seeds[i][j] = kHashSeeds[(i * n_hash + j) % 128];
+  }
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t i = 0; i < n; i++) {
+    char ascii[64];
+    to_ascii(kmers[i], k, ascii);
+    for (int a = 0; a < n_bits; a++) {
+      const uint8_t* b1 = bit1 + (uint64_t)a * km_byte_size;
+      const uint8_t* b2 = bit2 + (uint64_t)a * km_byte_size;
+      bool ok = true;
+      int32_t bin = 0;
+      for (int j = 0; j < n_hash; j++) {
+        uint64_t pos = murmur64(ascii, k, seeds[a][j]) % km_bit_size;
+        bin |= ((int32_t)check_bit(b1, pos)) << j;
+        if (!check_bit(b2, pos)) ok = false;  // no early break: matches ref
+      }
+      out_bins[i * n_bits + a] = ok ? bin : -1;
+    }
+  }
+}
+
+}  // extern "C"

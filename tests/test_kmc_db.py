@@ -1,0 +1,72 @@
+"""KMC database reader/writer unit tests (io/kmc_db.py)."""
+
+import numpy as np
+
+from kmcex_tpu.core import codec
+from kmcex_tpu.io import kmc_db
+
+
+def _pairs(seed, n, k):
+    rng = np.random.default_rng(seed)
+    raw = rng.integers(0, 1 << min(2 * k, 62), size=n, dtype=np.uint64)
+    mask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    can = np.unique(codec.canonical_np(raw & mask, k))
+    counts = rng.integers(1, 1024, size=len(can), dtype=np.uint64)
+    return can, counts
+
+
+def test_roundtrip_k31(tmp_path):
+    can, counts = _pairs(0, 5000, 31)
+    db = str(tmp_path / "db")
+    kmc_db.write_kmc1(db, can, counts, 31, min_count=1, max_count=1023)
+    r = kmc_db.KMCReader(db)
+    assert r.kmer_length == 31
+    assert r.counter_size == 2
+    kmers, cts = r.list_all()
+    np.testing.assert_array_equal(kmers, can)
+    np.testing.assert_array_equal(cts, counts.astype(np.uint32))
+
+
+def test_roundtrip_various_k(tmp_path):
+    for k in [11, 15, 21, 25, 32]:
+        can, counts = _pairs(k, 2000, k)
+        db = str(tmp_path / f"db{k}")
+        kmc_db.write_kmc1(db, can, counts, k, min_count=1, max_count=1023)
+        r = kmc_db.KMCReader(db)
+        kmers, cts = r.list_all()
+        np.testing.assert_array_equal(kmers, can)
+        np.testing.assert_array_equal(cts, counts.astype(np.uint32))
+
+
+def test_min_max_filter(tmp_path):
+    can, counts = _pairs(5, 3000, 31)
+    db = str(tmp_path / "db")
+    # store with wide bounds, read back with [5, 100] listing filter
+    kmc_db.write_kmc1(db, can, counts, 31, min_count=5, max_count=100)
+    r = kmc_db.KMCReader(db)
+    kmers, cts = r.list_all()
+    keep = (counts >= 5) & (counts <= 100)
+    np.testing.assert_array_equal(kmers, can[keep])
+    np.testing.assert_array_equal(cts, counts[keep].astype(np.uint32))
+
+
+def test_check_kmers(tmp_path):
+    can, counts = _pairs(9, 4000, 31)
+    db = str(tmp_path / "db")
+    kmc_db.write_kmc1(db, can, counts, 31, min_count=1, max_count=1023)
+    r = kmc_db.KMCReader(db)
+    rng = np.random.default_rng(1)
+    absent = rng.integers(0, 1 << 62, size=500, dtype=np.uint64)
+    q = np.concatenate([can[::3], absent])
+    got = r.check_kmers(q)
+    lookup = dict(zip(can.tolist(), counts.tolist()))
+    want = np.array([lookup.get(int(x), 0) for x in q], dtype=np.uint32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_counter_size_rule():
+    assert kmc_db.counter_size_for(255) == 1
+    assert kmc_db.counter_size_for(256) == 2
+    assert kmc_db.counter_size_for(1023) == 2
+    assert kmc_db.counter_size_for(65536) == 3
+    assert kmc_db.counter_size_for(1 << 24) == 4
