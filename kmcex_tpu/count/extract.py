@@ -1,0 +1,76 @@
+"""Device k-mer extraction: code batches -> canonical packed k-mers.
+
+The XLA/VPU formulation of the reference's per-read window walk: for a
+[B, L] batch of 2-bit codes, all L-k+1 windows are packed with a static
+k-step shift ladder (each step a full [B, W] vector op), invalid windows are
+masked via a cumulative-sum-of-invalid trick, and canonicalization is the
+bit-parallel reverse complement from core.codec.  Everything is static-shape
+and jit-compiled once per (L, k).
+
+Cites: window walk kmc_file.cpp:991-1133 (GetCountersForRead), canonical
+min tools.hpp:146-167.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kmcex_tpu.core import codec
+
+SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract_canonical(codes: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, L] uint8 codes (0..3 valid, else invalid) -> (kmers [B*W] uint64
+    canonical with SENTINEL at invalid windows, n_valid scalar). W = L-k+1."""
+    B, L = codes.shape
+    W = L - k + 1
+    invalid = (codes > 3).astype(jnp.int32)
+    # prefix sums of invalid counts -> window validity in O(1) per window
+    csum = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(invalid, axis=1, dtype=jnp.int32)],
+        axis=1,
+    )
+    win_ok = (csum[:, k:] - csum[:, :-k]) == 0  # [B, W]
+
+    c = jnp.where(codes > 3, 0, codes).astype(jnp.uint64)
+    kmer = jnp.zeros((B, W), dtype=jnp.uint64)
+    for t in range(k):  # static ladder; XLA fuses into one elementwise loop
+        kmer = kmer | (c[:, t : t + W] << jnp.uint64(2 * (k - 1 - t)))
+    kmer = codec.canonical_jnp(kmer, k)
+    kmer = jnp.where(win_ok, kmer, SENTINEL)
+    return kmer.reshape(-1), jnp.sum(win_ok, dtype=jnp.int64)
+
+
+@jax.jit
+def sort_count_unique(kmers: jnp.ndarray):
+    """Sort a flat uint64 k-mer array and segment-count duplicates.
+
+    Returns (unique_sorted [N] with SENTINEL padding at the tail, counts [N]
+    aligned, n_unique scalar).  SENTINEL entries (masked windows) are
+    dropped.  TPU-friendly formulation: XLA scatters serialize on TPU, so
+    run lengths come from a reverse cummin over boundary positions (a fast
+    associative scan) and the compaction is a second key+payload sort —
+    sorts are ~10x cheaper than element scatters here.
+    """
+    n = kmers.shape[0]
+    s = jnp.sort(kmers)
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    valid = first & (s != SENTINEL)
+    n_real = jnp.sum(s != SENTINEL, dtype=jnp.int32)  # sentinels sort last
+    # next boundary position per element via reverse cummin of boundary idxs
+    bpos = jnp.where(first, idxs, n)
+    next_b = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.array([n], jnp.int32)]))))
+    run_len = jnp.minimum(next_b, n_real) - idxs  # valid at boundaries only
+    counts = jnp.where(valid, run_len, 0)
+    # compaction: stable sort by (is-sentinel-or-dup key) carries counts along
+    key = jnp.where(valid, s, SENTINEL)
+    uniq_c, counts_c = jax.lax.sort((key, counts), num_keys=1, is_stable=False)
+    n_unique = jnp.sum(valid, dtype=jnp.int64)
+    counts_c = jnp.where(idxs < n_unique.astype(jnp.int32), counts_c, 0)
+    return uniq_c, counts_c.astype(jnp.uint32), n_unique

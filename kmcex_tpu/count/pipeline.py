@@ -1,0 +1,81 @@
+"""End-to-end pipeline: FASTQ -> counts -> KModel -> saved model dir.
+
+The TPU-native equivalent of the reference CLI run (main.cpp:129-150):
+where the reference shells out to the kmc binary and then re-reads its
+database, this pipeline streams reads through the device extraction/count
+kernels, optionally materializes a KMC1-format database (drop-in compatible
+with the vendored KMC API), and encodes the KModel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+
+import numpy as np
+
+from kmcex_tpu.config import KParams
+from kmcex_tpu.count.counter import CountAccumulator
+from kmcex_tpu.io import fastq, kmc_db
+from kmcex_tpu.model.kmodel import KModel, get_model
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    reads: int = 0
+    bases: int = 0
+    windows: int = 0
+    distinct_kmers: int = 0
+    count_seconds: float = 0.0
+    encode_seconds: float = 0.0
+
+
+def count_fastq(
+    input_spec: str,
+    k: int = 31,
+    ci: int = 1,
+    cs: int = 1023,
+    seg_len: int = fastq.DEFAULT_SEG_LEN,
+    batch_segs: int = fastq.DEFAULT_BATCH_SEGS,
+) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
+    """Count canonical k-mers in FASTQ/FASTA input (single chip)."""
+    t0 = time.time()
+    stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
+    acc = CountAccumulator(k)
+    for codes in stream:
+        acc.add_batch(codes)
+    kmers, counts = acc.finalize(ci, cs)
+    stats = PipelineStats(
+        reads=stream.reads,
+        bases=stream.bases,
+        windows=acc.total_windows,
+        distinct_kmers=len(kmers),
+        count_seconds=time.time() - t0,
+    )
+    return kmers, counts, stats
+
+
+def run(params: KParams, save_dir: str | None = None,
+        write_db: bool = True) -> tuple[KModel, PipelineStats]:
+    """Full kmcEx-equivalent run: count, (optionally) write the KMC1 DB to
+    ``output_file_name``, build + save the model under
+    ``working_directory/<basename>`` (main.cpp:143-149)."""
+    kmers, counts, stats = count_fastq(
+        params.input_file_name, params.k, params.ci, params.cs
+    )
+    if write_db and params.output_file_name:
+        kmc_db.write_kmc1(
+            params.output_file_name, kmers, counts.astype(np.uint64), params.k,
+            min_count=params.ci, max_count=params.cs,
+        )
+    t1 = time.time()
+    km = get_model(params.ci, params.cs, params.num_hash, params.num_bit)
+    km.init_from_pairs(kmers, counts, params.k)
+    stats.encode_seconds = time.time() - t1
+    if save_dir is None and params.output_file_name:
+        base = pathlib.Path(params.output_file_name).name
+        save_dir = str(pathlib.Path(params.working_directory) / base)
+    if save_dir:
+        km.save(save_dir)
+    return km, stats

@@ -1,0 +1,164 @@
+"""FASTQ/FASTA ingestion: files -> fixed-shape 2-bit code batches.
+
+Replaces the input half of the external KMC binary the reference shells out
+to (main.cpp:137-140).  Supports plain or gzipped FASTQ/FASTA, a single file
+or an ``@list`` file of inputs (README.md:18-19, rs.lst).
+
+Reads are segmented into fixed-length windows with k-1 overlap so every
+k-mer window appears in exactly one segment row and all device tensors have
+static shapes (XLA requirement).  Non-ACGT bases map to code 255; the
+extraction kernel masks windows containing them (the same semantics as KMC
+splitting reads at N, kmc_file.cpp:1008-1023).
+
+Parsing and segmentation are fully vectorized NumPy over ~16MB chunks: the
+line scan is one flatnonzero over newline bytes and the segment matrix is one
+fancy-indexed gather, so the host side keeps up with the device.
+"""
+
+from __future__ import annotations
+
+import gzip
+import pathlib
+from typing import Iterator
+
+import numpy as np
+
+from kmcex_tpu.core.codec import _BASE_LUT
+
+DEFAULT_SEG_LEN = 256
+DEFAULT_BATCH_SEGS = 16384
+
+
+def resolve_inputs(input_spec: str) -> list[str]:
+    """A path, or '@listfile' with one path per line (reference CLI surface)."""
+    if input_spec.startswith("@"):
+        paths = []
+        for line in pathlib.Path(input_spec[1:]).read_text().splitlines():
+            line = line.strip()
+            if line:
+                paths.append(line)
+        return paths
+    return [input_spec]
+
+
+def _open_maybe_gzip(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24):
+    """Yield (block_bytes, starts, ends) arrays of sequence-line spans.
+
+    FASTQ: every 4th line starting from line 1.  FASTA: non-header lines
+    (multi-line sequences appear as separate spans; k-mers do not cross FASTA
+    line breaks in this implementation — matching typical one-line FASTA).
+    """
+    with _open_maybe_gzip(path) as f:
+        head = f.peek(1)[:1] if hasattr(f, "peek") else b""
+        if not head:
+            head = b"@"
+        is_fasta = head == b">"
+        carry = b""
+        fastq_phase = 0
+        while True:
+            chunk = f.read(chunk_bytes)
+            if not chunk:
+                break
+            data = carry + chunk
+            last_nl = data.rfind(b"\n")
+            if last_nl < 0:
+                carry = data
+                continue
+            carry = data[last_nl + 1 :]
+            block = np.frombuffer(data[: last_nl + 1], dtype=np.uint8)
+            nl = np.flatnonzero(block == 10)
+            starts = np.empty_like(nl)
+            starts[0] = 0
+            starts[1:] = nl[:-1] + 1
+            ends = nl
+            # strip \r for CRLF input
+            crlf = (ends > starts) & (block[np.maximum(ends - 1, 0)] == 13)
+            ends = ends - crlf.astype(ends.dtype)
+            if is_fasta:
+                keep = block[starts] != ord(">")
+            else:
+                n = len(starts)
+                keep = (np.arange(n) + fastq_phase) % 4 == 1
+                fastq_phase = (fastq_phase + n) % 4
+            yield block, starts[keep], ends[keep]
+        if carry:
+            block = np.frombuffer(carry, dtype=np.uint8)
+            if is_fasta and carry[:1] != b">":
+                yield block, np.array([0]), np.array([len(block)])
+            elif not is_fasta and fastq_phase == 1:
+                yield block, np.array([0]), np.array([len(block)])
+
+
+def _segment_spans(
+    block: np.ndarray, starts: np.ndarray, ends: np.ndarray, k: int, seg_len: int
+) -> np.ndarray:
+    """Vectorized: cut all sequence spans into overlapping segments and gather
+    one [n_segs, seg_len] 2-bit code matrix (255 = pad/N)."""
+    stride = seg_len - (k - 1)
+    lens = (ends - starts).astype(np.int64)
+    ok = lens >= k
+    starts, ends, lens = starts[ok], ends[ok], lens[ok]
+    if len(starts) == 0:
+        return np.zeros((0, seg_len), dtype=np.uint8)
+    nseg = (lens - k) // stride + 1
+    total = int(nseg.sum())
+    read_of_seg = np.repeat(np.arange(len(starts)), nseg)
+    cum = np.concatenate([[0], np.cumsum(nseg)[:-1]])
+    j = np.arange(total) - cum[read_of_seg]  # segment index within read
+    abs_start = starts[read_of_seg] + j * stride
+    pos = abs_start[:, None] + np.arange(seg_len)[None, :]
+    limit = ends[read_of_seg][:, None]
+    safe = np.minimum(pos, len(block) - 1)
+    codes = _BASE_LUT[block[safe]]
+    return np.where(pos < limit, codes, np.uint8(255))
+
+
+class SegmentStream:
+    """Iterates [batch_segs, seg_len] uint8 code batches over input files,
+    tracking read/base statistics."""
+
+    def __init__(self, input_spec: str, k: int, seg_len: int = DEFAULT_SEG_LEN,
+                 batch_segs: int = DEFAULT_BATCH_SEGS):
+        self.input_spec = input_spec
+        self.k = k
+        self.seg_len = seg_len
+        self.batch_segs = batch_segs
+        self.reads = 0
+        self.bases = 0
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        pend: list[np.ndarray] = []
+        pend_rows = 0
+        for path in resolve_inputs(self.input_spec):
+            for block, starts, ends in _iter_seq_spans(path):
+                self.reads += len(starts)
+                self.bases += int((ends - starts).sum())
+                segs = _segment_spans(block, starts, ends, self.k, self.seg_len)
+                if len(segs) == 0:
+                    continue
+                pend.append(segs)
+                pend_rows += len(segs)
+                while pend_rows >= self.batch_segs:
+                    cat = pend[0] if len(pend) == 1 else np.concatenate(pend)
+                    yield cat[: self.batch_segs]
+                    rest = cat[self.batch_segs :]
+                    pend = [rest] if len(rest) else []
+                    pend_rows = len(rest)
+        if pend_rows:
+            cat = pend[0] if len(pend) == 1 else np.concatenate(pend)
+            pad = np.full((self.batch_segs - pend_rows, self.seg_len), 255, dtype=np.uint8)
+            yield np.concatenate([cat, pad])
+
+
+def segment_batches(input_spec: str, k: int, seg_len: int = DEFAULT_SEG_LEN,
+                    batch_segs: int = DEFAULT_BATCH_SEGS) -> SegmentStream:
+    return SegmentStream(input_spec, k, seg_len, batch_segs)

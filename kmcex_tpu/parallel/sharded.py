@@ -1,0 +1,119 @@
+"""Multi-chip sharded counting: data-parallel reads, hash-sharded k-mer table.
+
+The distributed design from SURVEY.md §5/§7: read segments are sharded
+across the device mesh (data parallel); each device extracts + canonicalizes
+its k-mers locally; k-mers are routed to their owner shard by a
+multiplicative hash via ``all_to_all`` over ICI; each shard then
+sort-counts its partition.  The shard-local results together form the global
+count table (disjoint by construction), and ``psum`` provides global stats.
+
+Runs identically on a real TPU slice or on a virtual
+``--xla_force_host_platform_device_count`` CPU mesh (how tests and the
+driver's multi-chip dry run validate it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kmcex_tpu.count import extract
+
+GOLDEN = jnp.uint64(0x9E3779B97F4A7C15)
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), axis_names=("shard",))
+
+
+def owner_of(kmers: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Owner shard by multiplicative (Fibonacci) hash of the canonical k-mer.
+
+    Plain ``kmer % n`` would skew: canonical k-mers concentrate in the lower
+    half of the value space (min of a k-mer and its reverse complement)."""
+    h = kmers * GOLDEN
+    return ((h >> jnp.uint64(32)).astype(jnp.uint32) % jnp.uint32(n_shards)).astype(
+        jnp.int32
+    )
+
+
+def build_sharded_count_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
+                             capacity: int | None = None):
+    """Returns a jitted step: codes [n_shards*seg_rows, seg_len] uint8 ->
+    (uniq [n_shards, M], counts [n_shards, M], n_unique [n_shards],
+    windows_total scalar), where row-blocks of codes are sharded over the
+    mesh and the outputs are shard-local count tables.
+
+    ``capacity`` is the per-destination routing buffer (static shape for
+    all_to_all); defaults to the worst case (every local k-mer to one shard),
+    which is always exact.  Smaller values trade memory for an overflow that
+    drops k-mers (asserted against in tests), so the default stays exact.
+    """
+    n = mesh.devices.size
+    W = seg_len - k + 1
+    local_kmers = seg_rows * W
+    cap = capacity or local_kmers
+    M = n * cap
+
+    def local_step(codes):  # codes: [seg_rows, seg_len] per shard
+        kmers, n_valid = extract.extract_canonical(codes, k)  # [seg_rows*W]
+        owner = owner_of(kmers, n)
+        # sentinels route to shard of their hash; they sort to the tail and
+        # are dropped by sort_count_unique anyway.
+        order = jnp.argsort(owner)
+        kmers_s = kmers[order]
+        owner_s = owner[order]
+        # slot within destination group
+        group_start = jnp.searchsorted(owner_s, jnp.arange(n, dtype=jnp.int32))
+        slot = jnp.arange(kmers.shape[0]) - group_start[owner_s]
+        send = jnp.full((n, cap), extract.SENTINEL, dtype=jnp.uint64)
+        ok = slot < cap
+        send = send.at[owner_s, jnp.where(ok, slot, 0)].set(
+            jnp.where(ok, kmers_s, extract.SENTINEL)
+        )
+        # exchange: piece j -> shard j
+        recv = jax.lax.all_to_all(send, "shard", split_axis=0, concat_axis=0, tiled=True)
+        uniq, counts, n_unique = extract.sort_count_unique(recv.reshape(-1))
+        windows = jax.lax.psum(n_valid, "shard")
+        return (
+            uniq[None, :],
+            counts[None, :],
+            n_unique[None],
+            windows,
+        )
+
+    step = jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=P("shard"),
+            out_specs=(P("shard"), P("shard"), P("shard"), P()),
+        )
+    )
+    return step
+
+
+def sharded_count(codes: np.ndarray, mesh: Mesh, k: int):
+    """Count canonical k-mers of one batch across the mesh; returns merged
+    host-side (kmers, counts) plus the per-shard partitions."""
+    n = mesh.devices.size
+    rows = codes.shape[0]
+    assert rows % n == 0, "batch rows must divide the mesh"
+    step = build_sharded_count_step(mesh, k, rows // n, codes.shape[1])
+    uniq, counts, n_unique, windows = step(codes)
+    uniq = np.asarray(uniq)
+    counts = np.asarray(counts)
+    n_unique = np.asarray(n_unique)
+    parts = [(uniq[i, : n_unique[i]], counts[i, : n_unique[i]]) for i in range(n)]
+    merged_k = np.concatenate([p[0] for p in parts])
+    merged_c = np.concatenate([p[1] for p in parts])
+    order = np.argsort(merged_k)
+    return merged_k[order], merged_c[order], parts, int(windows)

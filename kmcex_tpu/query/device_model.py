@@ -1,0 +1,271 @@
+"""DeviceKModel — the KModel resident in device memory with a fully batched,
+jit-compiled ``kmer_to_occ``.
+
+This is the serving path (the reference's OpenMP query fan-out,
+kmodel.hpp:90-98, rebuilt as one XLA program): every stage of the query
+decision tree — exact rest-store lookup, back-filter membership, Bloom bank
+probes, coupled bit-array probes, and the 8-neighbor disambiguation
+(kmodel.hpp:100-116,286-359) — is computed for the whole batch with gathers
+and combined with masks.  No data-dependent control flow; one fixed dataflow
+graph, so XLA pipelines the HBM gathers.
+
+All hash probes are MurmurHash64A over the ASCII k-mer bytes (regenerated on
+device from the packed form) with the reference seed schedule, so results
+are bit-identical to the host/native path (verified in tests against the
+reference binary's answers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kmcex_tpu.core import codec
+from kmcex_tpu.core.murmur import HASH_SEEDS, murmur64_jnp
+from kmcex_tpu.model.kmodel import KModel
+
+_U64 = jnp.uint64
+
+
+def _seed_matrix(n_bits: int, n_hash: int) -> np.ndarray:
+    """seeds[i, j] = HashSeeds[(i*n_hash + j) % 128] (kmodel.hpp:450-453)."""
+    idx = (np.arange(n_bits)[:, None] * n_hash + np.arange(n_hash)[None, :]) % 128
+    return HASH_SEEDS[idx]
+
+
+def _gather_bits(bits: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """MSB-first bit gather from a uint8 array (kmodel.hpp:584-588)."""
+    byte = (pos >> _U64(3)).astype(jnp.int64)
+    shift = (jnp.uint8(7) - (pos & _U64(7)).astype(jnp.uint8))
+    return (bits[byte] >> shift) & jnp.uint8(1)
+
+
+class DeviceKModel:
+    """Immutable device copy of a built/loaded KModel + jitted query."""
+
+    def __init__(self, km: KModel):
+        self.k = km.kmer_length
+        self.n_hash = km.n_hash
+        self.n_bits = km.n_bits
+        self.ci = km.ci
+        self.bf_num = km.bf_num
+        self.probe_order = km.bloom.probe_order
+        self.bf_num_hash = km.bf_num_hash
+        self.bf_back_num_hash = km.bf_back_num_hash
+        self.km_back_num_hash = km.km_back_num_hash
+        self.bin_end_index1 = km.occu_bin.bin_end_index1
+
+        dev = jax.devices()[0]
+        put = lambda x: jax.device_put(jnp.asarray(x), dev)
+
+        # Bloom bank (zero-length filters stay host-side as static facts)
+        self.bf_bits = [put(b) if len(b) else None for b in km.bloom.bit_bf]
+        self.bf_back_bits = [put(b) if len(b) else None for b in km.bloom.bit_bf_back]
+        self.bf_len = [int(x) for x in km.bloom.length_bf]
+        self.bf_back_len = [int(x) for x in km.bloom.length_bf_back]
+
+        # coupled arrays + km_back
+        self.bit1 = put(km.bit1)  # [nb, bytes]
+        self.bit2 = put(km.bit2)
+        self.km_bit_size = int(km.km_bit_size)
+        self.km_back = put(km.km_back) if km.byte_km_back else None
+        self.bit_km_back = int(km.bit_km_back)
+        self.seeds = put(_seed_matrix(self.n_bits, self.n_hash).astype(np.uint64))
+
+        # rest store (sorted full k-mers + CSR bounds)
+        kld = km.kld
+        self.rest_n = kld.suffix_bin_count
+        if self.rest_n:
+            full = kld._full_kmer_sorted()
+            self.rest_kmers = put(full)
+            self.rest_counts = put(kld.count_bin.astype(np.int32))
+            self.rest_h2i = put(kld.hash2index)
+            self.rest_pre = put(kld.pre_buffer.astype(np.int32))
+            suf_bits = 2 * kld.suf_len
+            self.rest_suf_bits = suf_bits
+            self.rest_suffix = put(kld._ensure_suffix_int())
+        # occ decode LUTs
+        self.bin2mean = put(km.occu_bin.bin2mean_lut.astype(np.int32))
+        self.occ2bin = put(km.occu_bin.occ2bin_lut.astype(np.int32))
+
+        self._query = jax.jit(self._build_query())
+
+    # -- probe primitives ---------------------------------------------------
+    def _murmur_positions(self, kmers, klen, seeds, bit_len):
+        """[..., n_seeds] probe positions for the ASCII form of kmers."""
+        ascii_b = codec.ascii_bytes_jnp(kmers, klen)  # [..., klen]
+        h = murmur64_jnp(ascii_b[..., None, :], jnp.asarray(seeds, dtype=_U64))
+        return h % _U64(bit_len)
+
+    def _check_bloom(self, kmers, klen, bits, bit_len, n_hash, seeds):
+        if bits is None or bit_len == 0:
+            return jnp.zeros(kmers.shape, dtype=bool)
+        pos = self._murmur_positions(kmers, klen, seeds, bit_len)
+        return jnp.all(_gather_bits(bits, pos) == 1, axis=-1)
+
+    def _middle(self, kmers):
+        return codec.middle_kmer_jnp(kmers, self.k)
+
+    def _check_back(self, kmers):
+        """check_back_bloomfilter over km_back (kmodel.hpp:107)."""
+        if self.km_back is None:
+            return jnp.zeros(kmers.shape, dtype=bool)
+        return self._check_bloom(
+            self._middle(kmers), self.k - 2, self.km_back, self.bit_km_back,
+            self.km_back_num_hash, HASH_SEEDS[: self.km_back_num_hash],
+        )
+
+    def _check_all_bf(self, kmers):
+        """check_all_bf (kmodel.hpp:361-371): first hit in probe order."""
+        occ = jnp.zeros(kmers.shape, dtype=jnp.int32)
+        mids = self._middle(kmers)
+        for i in self.probe_order:
+            main = self._check_bloom(
+                kmers, self.k, self.bf_bits[i], self.bf_len[i],
+                self.bf_num_hash, HASH_SEEDS[: self.bf_num_hash],
+            )
+            back = self._check_bloom(
+                mids, self.k - 2, self.bf_back_bits[i], self.bf_back_len[i],
+                self.bf_back_num_hash, HASH_SEEDS[: self.bf_back_num_hash],
+            )
+            hit = main & back & (occ == 0)
+            occ = jnp.where(hit, i + self.ci, occ)
+        return occ
+
+    def _find_bitarray(self, kmers):
+        """[..., n_bits] decoded bins, -1 where tags miss (kmodel.hpp:625-646)."""
+        ascii_b = codec.ascii_bytes_jnp(kmers, self.k)  # [..., k]
+        # [..., nb, nh] positions
+        h = murmur64_jnp(ascii_b[..., None, None, :], self.seeds)
+        pos = h % _U64(self.km_bit_size)
+        byte = (pos >> _U64(3)).astype(jnp.int64)
+        shift = (jnp.uint8(7) - (pos & _U64(7)).astype(jnp.uint8))
+        nb_idx = jnp.arange(self.n_bits)[:, None]
+        v1 = (self.bit1[nb_idx, byte] >> shift) & jnp.uint8(1)
+        v2 = (self.bit2[nb_idx, byte] >> shift) & jnp.uint8(1)
+        ok = jnp.all(v2 == 1, axis=-1)
+        weights = (jnp.int32(1) << jnp.arange(self.n_hash, dtype=jnp.int32))
+        bins = jnp.sum(v1.astype(jnp.int32) * weights, axis=-1)
+        return jnp.where(ok, bins, -1)
+
+    def _check_rest(self, kmers):
+        """Vectorized exact lookup with the reference's inclusive-high quirk
+        (rest.hpp:223-251)."""
+        if self.rest_n == 0:
+            return jnp.zeros(kmers.shape, dtype=jnp.int32)
+        suf_bits = _U64(self.rest_suf_bits)
+        prefixes = (kmers >> suf_bits).astype(jnp.int64)
+        suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
+        pre_idx = self.rest_h2i[prefixes]
+        valid = pre_idx >= 0
+        safe = jnp.maximum(pre_idx, 0).astype(jnp.int64)
+        hi = self.rest_pre[safe + 1].astype(jnp.int64)
+        pos = jnp.searchsorted(self.rest_kmers, kmers)
+        posc = jnp.minimum(pos, self.rest_n - 1)
+        hit = valid & (pos < hi) & (self.rest_kmers[posc] == kmers)
+        out = jnp.where(hit, self.rest_counts[posc], 0)
+        # inclusive-high quirk: key past bucket end matching next bucket's
+        # first suffix
+        nb_ok = valid & ~hit & (hi < self.rest_n) & (pos >= hi)
+        hic = jnp.minimum(hi, self.rest_n - 1)
+        nb_hit = nb_ok & (self.rest_suffix[hic] == suffixes)
+        return jnp.where(nb_hit, self.rest_counts[hic], out).astype(jnp.int32)
+
+    # -- the full decision tree --------------------------------------------
+    def _neighbor_candidates(self, kmers):
+        """get_neighbor_kmer_bin (kmodel.hpp:326-359): values + validity for
+        the 8 shift neighbors of each k-mer."""
+        k = self.k
+        mask2k = _U64((1 << (2 * k)) - 1) if k < 32 else _U64(0xFFFFFFFFFFFFFFFF)
+        bases = jnp.arange(4, dtype=_U64)
+        fwd = ((kmers[..., None] << _U64(2)) & mask2k) | bases
+        bwd = (kmers[..., None] >> _U64(2)) | (bases << _U64(2 * (k - 1)))
+        neigh = codec.canonical_jnp(jnp.concatenate([fwd, bwd], axis=-1), k)  # [..., 8]
+
+        rest_c = self._check_rest(neigh)
+        rest_hit = rest_c > 0
+        rest_val = self.occ2bin[jnp.clip(rest_c, 0, self.occ2bin.shape[0] - 1)]
+
+        bf = self._check_all_bf(neigh)
+        bf_hit = bf != 0
+
+        back = self._check_back(neigh)
+        B = self._find_bitarray(neigh)  # [..., 8, nb]
+        ok = B != -1
+        any_ok = jnp.any(ok, axis=-1)
+        nz = ok & (B != 0)
+        any_nz = jnp.any(nz, axis=-1)
+        first_nz_idx = jnp.argmax(nz, axis=-1)
+        first_nz = jnp.take_along_axis(B, first_nz_idx[..., None], axis=-1)[..., 0]
+        one_val = jnp.where(any_nz, first_nz, 0)
+        one_hit = back & any_ok
+
+        vals = jnp.where(rest_hit, rest_val, jnp.where(bf_hit, bf, one_val))
+        valid = rest_hit | bf_hit | one_hit
+        return vals.astype(jnp.int32), valid
+
+    def _build_query(self):
+        def query(kmers: jnp.ndarray) -> jnp.ndarray:
+            kmers = codec.canonical_jnp(kmers.astype(_U64), self.k)
+            rest_occ = self._check_rest(kmers)
+            is_back = self._check_back(kmers)
+            bf_occ = self._check_all_bf(kmers)
+
+            B = self._find_bitarray(kmers)  # [N, nb]
+            pos_mask = B > 0
+            nbin = jnp.sum(pos_mask, axis=-1)
+            first_idx = jnp.argmax(pos_mask, axis=-1)
+            first_bin = jnp.where(
+                nbin > 0, jnp.take_along_axis(B, first_idx[..., None], -1)[..., 0], 0
+            )
+
+            cand_vals, cand_valid = self._neighbor_candidates(kmers)
+            n_cand = jnp.sum(cand_valid, axis=-1)
+            cnt_bf = jnp.sum(
+                cand_valid & (cand_vals < self.ci + self.bf_num), axis=-1
+            )
+
+            # kmer_to_bin (kmodel.hpp:286-323)
+            take_occ1 = (nbin == 1) & (bf_occ != 0) & (cnt_bf >= n_cand // 2)
+            big = jnp.int32(1 << 21)
+            dist = jnp.abs(B[..., :, None] - cand_vals[..., None, :])
+            dist = jnp.where(cand_valid[..., None, :], dist, big)
+            cur_min = jnp.min(dist, axis=-1)
+            cur_min = jnp.where(pos_mask, cur_min, big * 2)
+            best_multi = jnp.take_along_axis(
+                B, jnp.argmin(cur_min, axis=-1)[..., None], -1
+            )[..., 0]
+            best_multi = jnp.where(n_cand > 0, best_multi, 0)
+
+            bin_val = jnp.where(
+                nbin == 0,
+                bf_occ,
+                jnp.where(
+                    nbin == 1,
+                    jnp.where(take_occ1, bf_occ, first_bin),
+                    best_multi,
+                ),
+            )
+            mean = self.bin2mean[jnp.clip(bin_val, 0, self.bin2mean.shape[0] - 1)]
+            bit_path = jnp.where(bin_val < self.bin_end_index1, bin_val, mean)
+
+            out = jnp.where(
+                rest_occ != 0,
+                rest_occ,
+                jnp.where(
+                    ~is_back,
+                    jnp.where(bf_occ != 0, bf_occ, 0),
+                    bit_path,
+                ),
+            )
+            return out.astype(jnp.int32)
+
+        return query
+
+    def kmer_to_occ(self, kmers_u64) -> jnp.ndarray:
+        """Batched query; input packed uint64 (any shape), canonicalized on
+        device."""
+        return self._query(jnp.asarray(kmers_u64, dtype=_U64))

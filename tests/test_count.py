@@ -1,0 +1,133 @@
+"""Counting engine tests: extraction, dedupe, FASTQ pipeline vs brute force."""
+
+import gzip
+from collections import Counter
+
+import numpy as np
+
+from kmcex_tpu.core import codec
+from kmcex_tpu.count import extract
+from kmcex_tpu.count.counter import CountAccumulator
+from kmcex_tpu.count.pipeline import count_fastq
+from kmcex_tpu.io import fastq
+
+BASES = "ACGT"
+
+
+def brute_counts(reads: list[str], k: int) -> Counter:
+    c = Counter()
+    for r in reads:
+        # split at non-ACGT (KMC semantics)
+        for part in "".join(b if b in BASES else " " for b in r).split():
+            for i in range(len(part) - k + 1):
+                kmer = part[i : i + k]
+                c[codec.string_to_u64(codec.u64_to_string(
+                    int(codec.canonical_np(np.uint64(codec.string_to_u64(kmer)), k)), k))] += 1
+    return c
+
+
+def random_reads(rng, n, lo=40, hi=220, n_rate=0.01):
+    reads = []
+    for _ in range(n):
+        L = int(rng.integers(lo, hi))
+        chars = rng.choice(list("ACGT"), size=L)
+        nmask = rng.random(L) < n_rate
+        chars[nmask] = "N"
+        reads.append("".join(chars))
+    return reads
+
+
+def test_extract_canonical_tiny():
+    k = 5
+    s = "ACGTTACGN"  # one N splits the windows
+    codes = codec.encode_bases(np.frombuffer(s.encode(), np.uint8))[None, :]
+    kmers, n_valid = extract.extract_canonical(codes, k)
+    got = sorted(int(x) for x in np.asarray(kmers) if x != 0xFFFFFFFFFFFFFFFF)
+    want = sorted(
+        int(codec.canonical_np(np.uint64(codec.string_to_u64(s[i : i + k])), k))
+        for i in range(4)  # windows 0..3 are N-free
+    )
+    assert got == want
+    assert int(n_valid) == 4
+
+
+def test_counts_vs_bruteforce(tmp_path):
+    rng = np.random.default_rng(0)
+    k = 21
+    reads = random_reads(rng, 300)
+    # duplicate some reads to create multiplicity
+    reads = reads + reads[:100]
+    fq = tmp_path / "t.fastq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    kmers, counts, stats = count_fastq(str(fq), k=k, ci=1, cs=1 << 30,
+                                       seg_len=64, batch_segs=512)
+    assert stats.reads == len(reads)
+    want = brute_counts(reads, k)
+    got = dict(zip(kmers.tolist(), counts.tolist()))
+    assert got == dict(want)
+    assert np.all(kmers[1:] > kmers[:-1])
+
+
+def test_gzip_and_list_inputs(tmp_path):
+    rng = np.random.default_rng(1)
+    k = 15
+    reads1 = random_reads(rng, 80)
+    reads2 = random_reads(rng, 80)
+    f1 = tmp_path / "a.fastq.gz"
+    with gzip.open(f1, "wt") as f:
+        for i, r in enumerate(reads1):
+            f.write(f"@a{i}\n{r}\n+\n{'I' * len(r)}\n")
+    f2 = tmp_path / "b.fastq"
+    with open(f2, "w") as f:
+        for i, r in enumerate(reads2):
+            f.write(f"@b{i}\n{r}\n+\n{'I' * len(r)}\n")
+    lst = tmp_path / "in.lst"
+    lst.write_text(f"{f1}\n{f2}\n")
+    kmers, counts, stats = count_fastq(f"@{lst}", k=k, seg_len=96, batch_segs=256)
+    want = brute_counts(reads1 + reads2, k)
+    got = dict(zip(kmers.tolist(), counts.tolist()))
+    assert got == dict(want)
+
+
+def test_ci_cs_semantics(tmp_path):
+    # ci drops rare k-mers, cs clamps counters (KMC -ci/-cs)
+    k = 11
+    read = "ACGTACGTACGTACGTACG"
+    reads = [read] * 10 + [("T" * 5 + "GATTACAGATT" + "C" * 5)]
+    fq = tmp_path / "t.fastq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    kmers, counts, _ = count_fastq(str(fq), k=k, ci=2, cs=5, seg_len=32, batch_segs=64)
+    want = brute_counts(reads, k)
+    exp = {km: min(c, 5) for km, c in want.items() if c >= 2}
+    got = dict(zip(kmers.tolist(), counts.tolist()))
+    assert got == exp
+
+
+def test_fasta_input(tmp_path):
+    k = 9
+    fa = tmp_path / "t.fa"
+    fa.write_text(">s1\nACGTACGTACGTACGT\n>s2\nGGGGGGGGGGGG\n")
+    kmers, counts, _ = count_fastq(str(fa), k=k, seg_len=32, batch_segs=64)
+    want = brute_counts(["ACGTACGTACGTACGT", "GGGGGGGGGGGG"], k)
+    got = dict(zip(kmers.tolist(), counts.tolist()))
+    assert got == dict(want)
+
+
+def test_accumulator_merging():
+    # many tiny batches must merge to the same result as one big batch
+    rng = np.random.default_rng(3)
+    k = 13
+    vals = rng.integers(0, 1 << (2 * k), size=5000, dtype=np.uint64)
+    vals = codec.canonical_np(vals, k)
+    acc = CountAccumulator(k)
+    for chunk in np.array_split(vals, 23):
+        u, c = np.unique(chunk, return_counts=True)
+        acc.add_kmer_run(u, c.astype(np.uint64))
+    kmers, counts = acc.finalize()
+    u, c = np.unique(vals, return_counts=True)
+    np.testing.assert_array_equal(kmers, u)
+    np.testing.assert_array_equal(counts, c.astype(np.uint32))

@@ -1,0 +1,47 @@
+"""Multi-device sharded counting on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+from kmcex_tpu.core import codec
+from kmcex_tpu.count import extract
+from kmcex_tpu.parallel import sharded
+
+
+def _random_codes(rng, rows, seg_len, n_rate=0.02):
+    codes = rng.integers(0, 4, size=(rows, seg_len)).astype(np.uint8)
+    codes[rng.random(codes.shape) < n_rate] = 255
+    return codes
+
+
+def test_sharded_count_matches_single_device():
+    rng = np.random.default_rng(0)
+    k = 21
+    codes = _random_codes(rng, 64, 96)
+    mesh = sharded.make_mesh(8)
+    kmers, counts, parts, windows = sharded.sharded_count(codes, mesh, k)
+
+    # single-device truth
+    flat, n_valid = extract.extract_canonical(codes, k)
+    flat = np.asarray(flat)
+    flat = flat[flat != 0xFFFFFFFFFFFFFFFF]
+    want_k, want_c = np.unique(flat, return_counts=True)
+    np.testing.assert_array_equal(kmers, want_k)
+    np.testing.assert_array_equal(counts, want_c.astype(counts.dtype))
+    assert windows == int(n_valid)
+
+    # shards are disjoint and complete
+    total = sum(len(p[0]) for p in parts)
+    assert total == len(want_k)
+    for i, (pk, _) in enumerate(parts):
+        if len(pk):
+            owners = np.asarray(sharded.owner_of(pk, 8))
+            assert (owners == i).all()
+
+
+def test_owner_balance():
+    rng = np.random.default_rng(1)
+    k = 31
+    kmers = codec.canonical_np(rng.integers(0, 1 << 62, size=200000, dtype=np.uint64), k)
+    owners = np.asarray(sharded.owner_of(kmers, 8))
+    frac = np.bincount(owners, minlength=8) / len(owners)
+    assert frac.max() < 0.16 and frac.min() > 0.09  # ~0.125 each
