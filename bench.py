@@ -1,0 +1,150 @@
+"""Benchmark: count+encode throughput of the TPU pipeline vs the reference.
+
+Workload: synthetic 150bp reads drawn from a simulated genome (deterministic
+seed), k=31, nh=7, nb=5, ci=1, cs=1023 — the reference's default config
+(BASELINE.json config 1).  The pipeline measured is the full kmcEx
+equivalent: FASTQ parse -> device extract/canonicalize/count -> merge ->
+KModel encode (Bloom bank + coupled bit arrays + rest store).
+
+Baseline: the reference kmcEx encode phase (compiled on the fly from
+/root/reference) fed the same counts through a KMC1 database.  The
+reference's k-mer *counting* step can't be timed — its kmc binary is a
+missing blob (.MISSING_LARGE_BLOBS) — so the baseline omits counting
+entirely, making the reported ratio a LOWER bound on the true speedup.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BENCH_DIR = pathlib.Path("/tmp/kmcex_bench")
+REF = "/root/reference"
+
+N_READS = int(os.environ.get("KMCEX_BENCH_READS", 200_000))
+READ_LEN = 150
+GENOME_LEN = 2_000_000
+K, NH, NB, CI, CS = 31, 7, 5, 1, 1023
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_fastq(path: pathlib.Path) -> None:
+    rng = np.random.default_rng(12345)
+    genome = rng.integers(0, 4, size=GENOME_LEN).astype(np.uint8)
+    starts = rng.integers(0, GENOME_LEN - READ_LEN, size=N_READS)
+    idx = starts[:, None] + np.arange(READ_LEN)[None, :]
+    reads = genome[idx]
+    # sequencing errors (0.2%) + rare Ns (0.05%)
+    err = rng.random(reads.shape) < 0.002
+    reads = np.where(err, (reads + rng.integers(1, 4, size=reads.shape)) % 4, reads)
+    acgt = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    ascii_reads = acgt[reads]
+    ascii_reads[rng.random(reads.shape) < 0.0005] = ord("N")
+    qual = np.full(READ_LEN, ord("I"), dtype=np.uint8)
+    with open(path, "wb") as f:
+        chunk = []
+        for i in range(N_READS):
+            chunk.append(b"@r%d\n" % i)
+            chunk.append(ascii_reads[i].tobytes())
+            chunk.append(b"\n+\n")
+            chunk.append(qual.tobytes())
+            chunk.append(b"\n")
+            if len(chunk) >= 5000:
+                f.write(b"".join(chunk))
+                chunk = []
+        f.write(b"".join(chunk))
+
+
+def build_ref_harness() -> str | None:
+    exe = BENCH_DIR / "gen_model"
+    if exe.exists():
+        return str(exe)
+    if not os.path.isdir(REF):
+        return None
+    src = pathlib.Path(__file__).parent / "tests" / "golden" / "gen_model.cpp"
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++11", "-fopenmp", f"-I{REF}",
+        "-o", str(exe), str(src),
+        f"{REF}/kmc_api/kmc_file.cpp", f"{REF}/kmc_api/kmer_api.cpp",
+        f"{REF}/kmc_api/mmer.cpp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return str(exe)
+    except Exception as e:  # baseline is optional
+        log(f"baseline harness build failed: {e}")
+        return None
+
+
+def main() -> None:
+    BENCH_DIR.mkdir(exist_ok=True)
+    fq = BENCH_DIR / f"reads_{N_READS}.fastq"
+    if not fq.exists():
+        log("generating synthetic FASTQ ...")
+        make_fastq(fq)
+
+    from kmcex_tpu.count.pipeline import count_fastq
+    from kmcex_tpu.io import kmc_db
+    from kmcex_tpu.model.kmodel import get_model
+
+    # Warm-up pass compiles the kernels (cached for the measured pass).
+    log("warm-up (compilation) ...")
+    count_fastq(str(fq), k=K, ci=CI, cs=CS)
+
+    log("measured pass ...")
+    t0 = time.time()
+    kmers, counts, stats = count_fastq(str(fq), k=K, ci=CI, cs=CS)
+    t_count = time.time() - t0
+    km = get_model(CI, CS, NH, NB)
+    km.init_from_pairs(kmers, counts, K)
+    t_total = time.time() - t0
+    reads_per_s = stats.reads / t_total
+    log(
+        f"ours: {stats.reads} reads, {stats.windows} windows, "
+        f"{len(kmers)} distinct kmers; count {t_count:.2f}s + encode "
+        f"{t_total - t_count:.2f}s -> {reads_per_s:,.0f} reads/s"
+    )
+
+    vs_baseline = 0.0
+    harness = build_ref_harness()
+    if harness:
+        db = BENCH_DIR / "bench_db"
+        kmc_db.write_kmc1(str(db), kmers, counts.astype(np.uint64), K,
+                          min_count=CI, max_count=CS)
+        ref_dir = BENCH_DIR / "ref_model"
+        ref_dir.mkdir(exist_ok=True)
+        t0 = time.time()
+        subprocess.run(
+            [harness, "build", str(db), str(ref_dir), str(CI), str(CS), str(NH), str(NB)],
+            check=True, capture_output=True,
+        )
+        t_ref = time.time() - t0
+        ref_reads_per_s = stats.reads / t_ref
+        log(
+            f"reference encode-only (counting excluded; kmc binary is a "
+            f"missing blob): {t_ref:.2f}s -> {ref_reads_per_s:,.0f} reads/s"
+        )
+        vs_baseline = reads_per_s / ref_reads_per_s
+
+    print(json.dumps({
+        "metric": "count+encode throughput (k=31, nh=7, nb=5, 150bp reads)",
+        "value": round(reads_per_s / 1e6, 4),
+        "unit": "Mreads/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

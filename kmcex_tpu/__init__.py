@@ -21,9 +21,23 @@ The framework requires 64-bit integer support (k-mers are 2-bit packed into
 uint64); we enable jax x64 mode at import, before any tracing happens.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: compilation on this rig goes through a
+# remote-compile tunnel at ~20-60s per program, so caching across processes
+# turns every warm start from minutes into milliseconds.
+_cache_dir = _os.environ.get(
+    "KMCEX_JAX_CACHE", _os.path.expanduser("~/.cache/kmcex_jax")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache flags are best-effort across jax versions
+    pass
 
 from kmcex_tpu.config import KParams  # noqa: E402
 from kmcex_tpu.model.kmodel import KModel, get_model, load_model  # noqa: E402

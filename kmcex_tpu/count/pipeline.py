@@ -36,14 +36,31 @@ def count_fastq(
     k: int = 31,
     ci: int = 1,
     cs: int = 1023,
-    seg_len: int = fastq.DEFAULT_SEG_LEN,
+    seg_len: int | None = None,
     batch_segs: int = fastq.DEFAULT_BATCH_SEGS,
+    accumulator: str = "device",
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
-    """Count canonical k-mers in FASTQ/FASTA input (single chip)."""
+    """Count canonical k-mers in FASTQ/FASTA input (single chip).
+
+    ``seg_len=None`` auto-sizes segments to the observed read length so no
+    window slots are wasted on padding.  ``accumulator="device"`` keeps all
+    run merging in HBM (one host transfer total); "host" is the NumPy LSM.
+    """
     t0 = time.time()
+    if seg_len is None:
+        sniffed = fastq.sniff_read_length(input_spec)
+        seg_len = min(512, max(k + 33, sniffed))
     stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
-    acc = CountAccumulator(k)
-    for codes in stream:
+    if accumulator == "device":
+        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+        acc = DeviceCountAccumulator(k)
+    else:
+        acc = CountAccumulator(k)
+    # producer thread overlaps host parsing with (async) device dispatch
+    from kmcex_tpu.utils import prefetch_iterator
+
+    for codes in prefetch_iterator(iter(stream), depth=3):
         acc.add_batch(codes)
     kmers, counts = acc.finalize(ci, cs)
     stats = PipelineStats(

@@ -26,7 +26,7 @@ import numpy as np
 from kmcex_tpu.core.codec import _BASE_LUT
 
 DEFAULT_SEG_LEN = 256
-DEFAULT_BATCH_SEGS = 16384
+DEFAULT_BATCH_SEGS = 65536
 
 
 def resolve_inputs(input_spec: str) -> list[str]:
@@ -124,18 +124,77 @@ def _segment_spans(
 
 class SegmentStream:
     """Iterates [batch_segs, seg_len] uint8 code batches over input files,
-    tracking read/base statistics."""
+    tracking read/base statistics.  Uses the native C++ segmenter (single
+    pass, writes straight into the yield buffer) with a NumPy fallback."""
 
     def __init__(self, input_spec: str, k: int, seg_len: int = DEFAULT_SEG_LEN,
-                 batch_segs: int = DEFAULT_BATCH_SEGS):
+                 batch_segs: int = DEFAULT_BATCH_SEGS, use_native: bool = True):
         self.input_spec = input_spec
         self.k = k
         self.seg_len = seg_len
         self.batch_segs = batch_segs
+        self.use_native = use_native
         self.reads = 0
         self.bases = 0
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self.use_native:
+            try:
+                from kmcex_tpu import native
+
+                native.lib()
+                yield from self._iter_native(native)
+                return
+            except Exception:
+                pass
+        yield from self._iter_numpy()
+
+    def _iter_native(self, native) -> Iterator[np.ndarray]:
+        buf = np.full((self.batch_segs, self.seg_len), 255, dtype=np.uint8)
+        row = 0
+        for path in resolve_inputs(self.input_spec):
+            with _open_maybe_gzip(path) as f:
+                head = f.peek(1)[:1] if hasattr(f, "peek") else b""
+                is_fasta = head == b">"
+                phase = 0
+                carry = b""
+                eof = False
+                while not eof:
+                    chunk = f.read(1 << 24)
+                    if not chunk:
+                        eof = True
+                        if not carry:
+                            break
+                        data = carry + b"\n"  # flush a final unterminated line
+                        carry = b""
+                    else:
+                        data = carry + chunk if carry else chunk
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    off = 0
+                    while off < len(arr):
+                        rows, consumed, nr, nb, phase = native.segment_buffer(
+                            arr[off:], is_fasta, phase, self.k, self.seg_len,
+                            buf[row:],
+                        )
+                        row += rows
+                        self.reads += nr
+                        self.bases += nb
+                        off += consumed
+                        if consumed == 0 and rows == 0 and row == 0:
+                            break  # incomplete tail line -> carry
+                        if row == self.batch_segs or (consumed == 0 and rows == 0):
+                            # buffer full (exactly, or a long read needs more
+                            # rows than remain): flush and keep going
+                            yield buf
+                            buf = np.full(
+                                (self.batch_segs, self.seg_len), 255, dtype=np.uint8
+                            )
+                            row = 0
+                    carry = data[off:] if off < len(data) else b""
+        if row:
+            yield buf
+
+    def _iter_numpy(self) -> Iterator[np.ndarray]:
         pend: list[np.ndarray] = []
         pend_rows = 0
         for path in resolve_inputs(self.input_spec):
@@ -162,3 +221,20 @@ class SegmentStream:
 def segment_batches(input_spec: str, k: int, seg_len: int = DEFAULT_SEG_LEN,
                     batch_segs: int = DEFAULT_BATCH_SEGS) -> SegmentStream:
     return SegmentStream(input_spec, k, seg_len, batch_segs)
+
+
+def sniff_read_length(input_spec: str, max_reads: int = 10000) -> int:
+    """Median sequence length over the first reads (to pick a segment length
+    that wastes no window slots on padding)."""
+    lens: list[np.ndarray] = []
+    seen = 0
+    for path in resolve_inputs(input_spec):
+        for _, starts, ends in _iter_seq_spans(path, chunk_bytes=1 << 22):
+            lens.append(ends - starts)
+            seen += len(starts)
+            if seen >= max_reads:
+                break
+        break
+    if not lens:
+        return DEFAULT_SEG_LEN
+    return int(np.median(np.concatenate(lens)))

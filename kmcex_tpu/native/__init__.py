@@ -58,6 +58,11 @@ def _declare(L: ctypes.CDLL) -> None:
         u64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, u8p, ctypes.c_uint64, i32p, ctypes.c_int,
     ]
+    L.kx_segment_buffer.restype = ctypes.c_int64
+    L.kx_segment_buffer.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int64, i64p, i64p, i64p,
+    ]
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -123,6 +128,28 @@ def encode_bitarrays(
         n_threads or n_threads_default(),
     )
     return rest_idx[: rest_n[0]].copy()
+
+
+def segment_buffer(
+    data: np.ndarray, is_fasta: bool, phase: int, k: int, seg_len: int,
+    out_rows: np.ndarray,
+) -> tuple[int, int, int, int, int]:
+    """Segment complete lines of ``data`` into ``out_rows`` [cap, seg_len].
+
+    Returns (rows_written, consumed_bytes, reads, bases, new_phase)."""
+    assert out_rows.dtype == np.uint8 and out_rows.flags.c_contiguous
+    ph = ctypes.c_int(phase)
+    consumed = np.zeros(1, dtype=np.int64)
+    n_reads = np.zeros(1, dtype=np.int64)
+    n_bases = np.zeros(1, dtype=np.int64)
+    rows = lib().kx_segment_buffer(
+        _ptr(data, ctypes.c_uint8), len(data), int(is_fasta),
+        ctypes.byref(ph), k, seg_len,
+        _ptr(out_rows, ctypes.c_uint8), out_rows.shape[0],
+        _ptr(consumed, ctypes.c_int64), _ptr(n_reads, ctypes.c_int64),
+        _ptr(n_bases, ctypes.c_int64),
+    )
+    return int(rows), int(consumed[0]), int(n_reads[0]), int(n_bases[0]), ph.value
 
 
 def find_bitarray(kmers: np.ndarray, k: int, n_bits: int, n_hash: int,

@@ -341,4 +341,67 @@ void kx_find_bitarray(const uint64_t* kmers, int64_t n, int k, int n_bits,
   }
 }
 
+// FASTQ/FASTA chunk segmenter: scan complete lines in buf, pick sequence
+// lines (FASTQ: every 4th starting at phase offset; FASTA: non-'>' lines),
+// translate ASCII -> 2-bit codes (255 for non-ACGT) and cut into segments of
+// seg_len overlapping by k-1 into `out` [out_cap_rows, seg_len] (rows padded
+// with 255).  Resumable: stops at line granularity when out is full.
+//   fastq_phase: in/out, line index mod 4 across chunks.
+//   consumed: out, bytes of buf processed (always ends on a line boundary).
+// Returns rows written.
+int64_t kx_segment_buffer(const uint8_t* buf, int64_t len, int is_fasta,
+                          int* fastq_phase, int k, int seg_len, uint8_t* out,
+                          int64_t out_cap_rows, int64_t* consumed,
+                          int64_t* n_reads, int64_t* n_bases) {
+  static uint8_t lut[256];
+  static bool lut_init = false;
+  if (!lut_init) {
+    memset(lut, 255, 256);
+    lut['A'] = lut['a'] = 0;
+    lut['C'] = lut['c'] = 1;
+    lut['G'] = lut['g'] = 2;
+    lut['T'] = lut['t'] = 3;
+    lut_init = true;
+  }
+  const int64_t stride = seg_len - (k - 1);
+  int64_t rows = 0, reads = 0, bases = 0;
+  int64_t pos = 0;
+  int phase = *fastq_phase;
+  while (pos < len) {
+    const uint8_t* nl = (const uint8_t*)memchr(buf + pos, '\n', len - pos);
+    if (!nl) break;  // incomplete line -> caller carries it over
+    int64_t start = pos, end = nl - buf;
+    pos = end + 1;
+    if (end > start && buf[end - 1] == '\r') end--;  // CRLF
+    bool is_seq = is_fasta ? (end == start || buf[start] != '>')
+                           : (phase == 1);
+    phase = (phase + 1) & 3;
+    if (!is_seq) continue;
+    int64_t L = end - start;
+    int64_t nseg = L >= k ? (L - k) / stride + 1 : 0;
+    if (rows + nseg > out_cap_rows) {  // rewind this line; resume later
+      pos = start;
+      phase = (phase + 3) & 3;
+      break;
+    }
+    reads++;
+    bases += L;
+    if (L < k) continue;
+    for (int64_t s = 0; s < nseg; s++) {
+      const uint8_t* src = buf + start + s * stride;
+      int64_t avail = L - s * stride;
+      int64_t m = avail < seg_len ? avail : seg_len;
+      uint8_t* dst = out + (rows + s) * seg_len;
+      for (int64_t j = 0; j < m; j++) dst[j] = lut[src[j]];
+      if (m < seg_len) memset(dst + m, 255, seg_len - m);
+    }
+    rows += nseg;
+  }
+  *fastq_phase = phase;
+  *consumed = pos;
+  *n_reads = reads;
+  *n_bases = bases;
+  return rows;
+}
+
 }  // extern "C"
