@@ -180,11 +180,18 @@ class SegmentStream:
                         self.reads += nr
                         self.bases += nb
                         off += consumed
-                        if consumed == 0 and rows == 0 and row == 0:
+                        stalled = consumed == 0 and rows == 0
+                        if stalled and data.find(b"\n", off) == -1:
                             break  # incomplete tail line -> carry
-                        if row == self.batch_segs or (consumed == 0 and rows == 0):
-                            # buffer full (exactly, or a long read needs more
-                            # rows than remain): flush and keep going
+                        if stalled and row == 0:
+                            raise ValueError(
+                                "single sequence line needs more than "
+                                f"batch_segs={self.batch_segs} segment rows; "
+                                "raise batch_segs (whole-genome FASTA lines)"
+                            )
+                        if row == self.batch_segs or stalled:
+                            # buffer full (exactly, or the next read needs
+                            # more rows than remain): flush and keep going
                             yield buf
                             buf = np.full(
                                 (self.batch_segs, self.seg_len), 255, dtype=np.uint8
