@@ -24,12 +24,19 @@ def bf_sizes(kmer_counts: np.ndarray, n_hash: int) -> tuple[np.ndarray, np.ndarr
 
     Reference computes ``count / 5.5 * (nh-1)`` in double then truncates to
     uint64, and ``(count >> 3) * (nh-2)`` in integers.
+
+    Sizes are clamped to >=1 byte: the reference formulas yield 0 bytes for
+    pairs holding <8 k-mers, and hashing modulo a 0-bit filter is undefined
+    (the reference SIGFPEs on such inputs, kmodel.hpp:576-581).  The clamp
+    only changes behavior on inputs where the reference cannot run at all;
+    save/load recompute sizes with the same clamp, so files stay
+    self-consistent.
     """
     counts = np.asarray(kmer_counts, dtype=np.uint64)
     byte_bf = np.array(
-        [int(float(c) / 5.5 * (n_hash - 1)) for c in counts], dtype=np.uint64
+        [max(int(float(c) / 5.5 * (n_hash - 1)), 1) for c in counts], dtype=np.uint64
     )
-    byte_back = (counts >> np.uint64(3)) * np.uint64(n_hash - 2)
+    byte_back = np.maximum((counts >> np.uint64(3)) * np.uint64(n_hash - 2), 1)
     return byte_bf, byte_back
 
 

@@ -119,7 +119,11 @@ class KModel:
         self.init_from_pairs(kmers, counts, db.kmer_length)
 
     def _init_km_parameter(self, km_kmercount: int) -> None:
-        # kmodel.hpp:436-456
+        # kmodel.hpp:436-456.  (km_kmercount>>4) is clamped to >=1: the
+        # reference formula gives 0-byte arrays for <16 k-mers and then
+        # SIGFPEs hashing modulo zero; the clamp only changes inputs the
+        # reference cannot process (load recomputes with the same clamp).
+        km_kmercount = max(km_kmercount, 16)
         self.km_byte_size = (km_kmercount >> 4) * self.n_hash
         self.km_bit_size = self.km_byte_size << 3
         self.byte_km_back = (km_kmercount >> 4) * self.km_back_num_hash
