@@ -1,18 +1,29 @@
-"""Device-resident LSM accumulation of (k-mer, count) runs.
+"""Device-resident accumulation of (k-mer, count) runs.
 
-Per-batch results never leave the device: sorted unique runs (padded with
-SENTINEL to power-of-two sizes) are stacked like an LSM tree and merged
-pairwise with a jitted concat -> sort -> segment-sum kernel whenever two
-runs reach the same size class.  Only the final merged table is pulled to
-the host, which matters here because device->host bandwidth (~20MB/s over
-the axon relay on this rig) is orders of magnitude below device sort
-throughput.
+Two-level design tuned for TPU sort throughput vs. the slow host link on
+this rig (~33MB/s each way over the axon relay):
+
+  * **Raw tier** — per input batch only the fused extract kernel runs; the
+    flat canonical k-mer vectors stay in HBM unsorted.  When the tier
+    reaches ``raw_tier_elems`` k-mers it is concatenated and collapsed by
+    ONE sort + segment-count pass.  Counting per 8M batch and pairwise
+    merging (the previous scheme) sorted every element ~6x; a large tier
+    sorts each element ~2x (count pass + at most one merge per LSM level).
+  * **LSM runs** — collapsed tiers are sorted unique runs, merged pairwise
+    (concat -> sort -> segment-sum) whenever two reach the same size
+    class, exactly like an LSM tree.  Memory stays bounded for
+    genome-scale inputs while merge cost is amortized.
+
+Only the final merged table is pulled to the host, counts narrowed to
+uint16 when ``cs`` fits (half the transfer bytes; counters clamp to cs
+anyway, kmodel.hpp:675).
 
 Segment sums use the same scatter-free formulation as
 count/extract.sort_count_unique: run lengths/sums come from prefix sums +
 reverse cummin over boundary positions, compaction from one key+payload
 sort.  The number of distinct compiled shapes is logarithmic (power-of-two
-sizes only).
+sizes only) plus one per distinct batches-per-tier count (bounded by
+``raw_tier_elems // batch_elems``).
 """
 
 from __future__ import annotations
@@ -23,7 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kmcex_tpu.count.extract import SENTINEL, extract_canonical, sort_count_unique
+from kmcex_tpu.count.extract import (
+    SENTINEL,
+    extract_canonical,
+    extract_canonical_packed,
+    sort_count_unique,
+)
 
 
 @jax.jit
@@ -58,29 +74,33 @@ def _merge_runs_kernel(ka, ca, kb, cb):
     return uniq, counts_c, n_unique
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _extract_kernel(codes, k: int):
+    """Fused extract -> canonicalize; the flat k-mer vector stays in HBM."""
+    kmers, _ = extract_canonical(codes, k)
+    return kmers
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
-def _pad_run(kmers, counts, size: int):
-    n = kmers.shape[0]
-    pk = jnp.full((size,), SENTINEL, dtype=jnp.uint64)
-    pc = jnp.zeros((size,), dtype=jnp.uint32)
-    return pk.at[:n].set(kmers), pc.at[:n].set(counts)
+def _extract_kernel_packed(packed, maskbits, k: int):
+    kmers, _ = extract_canonical_packed(packed, maskbits, k)
+    return kmers
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _count_batch_kernel(codes, k: int, pad_size: int):
-    """Fused extract -> canonicalize -> sort -> segment-count -> pad.
+@jax.jit
+def _collapse_kernel(kmers_list):
+    """Concat a raw tier and collapse to a sorted unique run."""
+    flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
+    uniq, counts, n_unique = sort_count_unique(flat)
+    return uniq, counts, n_unique.astype(jnp.int32)
 
-    One XLA program (and one dispatch RPC) per input batch; the RPC latency
-    on this rig (~26ms) makes call fusion worth as much as the compute."""
-    kmers, n_valid = extract_canonical(codes, k)
-    uniq, counts, n_unique = sort_count_unique(kmers)
-    n = uniq.shape[0]
-    if pad_size > n:
-        pk = jnp.full((pad_size,), SENTINEL, dtype=jnp.uint64).at[:n].set(uniq)
-        pc = jnp.zeros((pad_size,), dtype=jnp.uint32).at[:n].set(counts)
-    else:
-        pk, pc = uniq[:pad_size], counts[:pad_size]
-    return pk, pc, n_valid
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _pack_final(kmers, counts, cs: int, narrow: bool):
+    c = jnp.minimum(counts, jnp.uint32(cs))
+    if narrow:
+        c = c.astype(jnp.uint16)
+    return kmers, c
 
 
 def _next_pow2(n: int) -> int:
@@ -90,23 +110,62 @@ def _next_pow2(n: int) -> int:
 class DeviceCountAccumulator:
     """Accumulates batches on device; one host transfer at finalize."""
 
-    def __init__(self, k: int):
-        self.k = k
-        self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
-        self.total_windows = 0
-
-    def add_batch(self, codes: np.ndarray) -> None:
-        n_windows = codes.shape[0] * (codes.shape[1] - self.k + 1)
-        size = _next_pow2(n_windows)
-        uniq, counts, _ = _count_batch_kernel(codes, self.k, size)
-        self.total_windows += n_windows
-        self.runs.append((uniq, counts, size))
-        self._rebalance()
-
+    # Raw k-mers buffered in HBM before one sort+count pass (512MB at u64).
+    RAW_TIER_ELEMS = 64 << 20
     # Below this size, merges stay fully async (no host sync to learn the
     # unique count); above it, one scalar sync lets us shrink the pad so
     # memory and future merge cost track the true distinct-k-mer count.
     SHRINK_THRESHOLD = 1 << 23
+
+    def __init__(self, k: int, raw_tier_elems: int | None = None):
+        self.k = k
+        self.raw_tier_elems = raw_tier_elems or self.RAW_TIER_ELEMS
+        self.raw: list[jnp.ndarray] = []
+        self.raw_elems = 0
+        self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
+        self.total_windows = 0
+
+    def add_batch(self, codes) -> None:
+        n_windows = codes.shape[0] * (codes.shape[1] - self.k + 1)
+        kmers = _extract_kernel(codes, self.k)
+        self._push_raw(kmers, n_windows)
+
+    def add_batch_packed(self, packed, maskbits) -> None:
+        """2-bit packed input (see extract.pack_codes_np): L = 4 * packed
+        width."""
+        L = packed.shape[1] * 4
+        n_windows = packed.shape[0] * (L - self.k + 1)
+        kmers = _extract_kernel_packed(packed, maskbits, self.k)
+        self._push_raw(kmers, n_windows)
+
+    def _push_raw(self, kmers, n_windows: int) -> None:
+        self.total_windows += n_windows
+        self.raw.append(kmers)
+        self.raw_elems += n_windows
+        if self.raw_elems >= self.raw_tier_elems:
+            self._collapse_raw()
+
+    def _collapse_raw(self) -> None:
+        if not self.raw:
+            return
+        uniq, counts, nu = _collapse_kernel(self.raw)
+        size = uniq.shape[0]
+        self.raw = []
+        self.raw_elems = 0
+        if size >= self.SHRINK_THRESHOLD:
+            shrunk = _next_pow2(max(int(nu), 1))  # scalar device sync
+            if shrunk < size:
+                uniq, counts = uniq[:shrunk], counts[:shrunk]
+                size = shrunk
+        # runs must be pow2-padded so merge shape classes stay logarithmic
+        psize = _next_pow2(size)
+        if psize != size:
+            pad = psize - size
+            uniq = jnp.concatenate([uniq, jnp.full((pad,), SENTINEL, jnp.uint64)])
+            counts = jnp.concatenate([counts, jnp.zeros((pad,), jnp.uint32)])
+            size = psize
+        self.runs.append((uniq, counts, size))
+        self._rebalance()
 
     def _merge_top2(self) -> None:
         kb, cb, sb = self.runs.pop()
@@ -125,15 +184,20 @@ class DeviceCountAccumulator:
             self._merge_top2()
 
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF) -> tuple[np.ndarray, np.ndarray]:
+        self._collapse_raw()
         while len(self.runs) >= 2:
             self._merge_top2()
         if not self.runs:
             return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
-        u, c, _ = self.runs[0]
+        u, c, size = self.runs[0]
+        if size >= self.SHRINK_THRESHOLD:
+            # final tight pad before the (slow) host pull
+            pass  # already shrunk in _merge_top2/_collapse_raw
+        narrow = cs < (1 << 16)
+        u, c = _pack_final(u, c, int(cs), narrow)
         kmers = np.asarray(u)
-        counts = np.asarray(c)
+        counts = np.asarray(c).astype(np.uint32)
         real = kmers != np.uint64(0xFFFFFFFFFFFFFFFF)
         kmers, counts = kmers[real], counts[real]
         keep = counts >= ci
-        kmers, counts = kmers[keep], counts[keep]
-        return kmers, np.minimum(counts, cs).astype(np.uint32)
+        return kmers[keep], counts[keep]

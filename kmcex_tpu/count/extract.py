@@ -23,27 +23,63 @@ from kmcex_tpu.core import codec
 SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def extract_canonical(codes: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """[B, L] uint8 codes (0..3 valid, else invalid) -> (kmers [B*W] uint64
-    canonical with SENTINEL at invalid windows, n_valid scalar). W = L-k+1."""
+def _extract_core(codes: jnp.ndarray, invalid: jnp.ndarray, k: int):
+    """codes [B, L] uint8 in 0..3, invalid [B, L] bool -> (kmers [B*W]
+    canonical u64 with SENTINEL at invalid windows, n_valid)."""
     B, L = codes.shape
     W = L - k + 1
-    invalid = (codes > 3).astype(jnp.int32)
     # prefix sums of invalid counts -> window validity in O(1) per window
     csum = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(invalid, axis=1, dtype=jnp.int32)],
+        [jnp.zeros((B, 1), jnp.int32),
+         jnp.cumsum(invalid.astype(jnp.int32), axis=1, dtype=jnp.int32)],
         axis=1,
     )
     win_ok = (csum[:, k:] - csum[:, :-k]) == 0  # [B, W]
 
-    c = jnp.where(codes > 3, 0, codes).astype(jnp.uint64)
+    c = codes.astype(jnp.uint64)
     kmer = jnp.zeros((B, W), dtype=jnp.uint64)
     for t in range(k):  # static ladder; XLA fuses into one elementwise loop
         kmer = kmer | (c[:, t : t + W] << jnp.uint64(2 * (k - 1 - t)))
     kmer = codec.canonical_jnp(kmer, k)
     kmer = jnp.where(win_ok, kmer, SENTINEL)
     return kmer.reshape(-1), jnp.sum(win_ok, dtype=jnp.int64)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def extract_canonical(codes: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, L] uint8 codes (0..3 valid, else invalid) -> (kmers [B*W] uint64
+    canonical with SENTINEL at invalid windows, n_valid scalar). W = L-k+1."""
+    invalid = codes > 3
+    return _extract_core(jnp.where(invalid, 0, codes), invalid, k)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_canonical_packed(packed: jnp.ndarray, maskbits: jnp.ndarray, k: int):
+    """Packed variant: ``packed`` [B, L/4] uint8 holds 4 bases/byte
+    (little-endian 2-bit fields), ``maskbits`` [B, L/8] uint8 holds validity
+    bits (little-endian).  4x fewer host->device bytes than raw codes — the
+    relay link on this rig is ~33MB/s, so the unpack (a couple of VPU shift
+    ops) is effectively free by comparison."""
+    B, P4 = packed.shape
+    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
+    codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(B, P4 * 4)
+    mshifts = jnp.arange(8, dtype=jnp.uint8)
+    vbits = ((maskbits[:, :, None] >> mshifts[None, None, :]) & 1).reshape(B, -1)
+    return _extract_core(codes, vbits == 0, k)
+
+
+def pack_codes_np(codes: "np.ndarray"):
+    """Host-side pack: [B, L] uint8 codes (255 = invalid), L % 8 == 0 ->
+    (packed [B, L/4], maskbits [B, L/8]).  Pure NumPy; runs in the prefetch
+    producer thread so it overlaps device compute."""
+    import numpy as np
+
+    B, L = codes.shape
+    valid = codes < 4
+    c = np.where(valid, codes, 0).astype(np.uint8).reshape(B, L // 4, 4)
+    packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+    maskbits = np.packbits(valid, axis=1, bitorder="little")
+    return packed, maskbits
 
 
 @jax.jit

@@ -50,18 +50,33 @@ def count_fastq(
     if seg_len is None:
         sniffed = fastq.sniff_read_length(input_spec)
         seg_len = min(512, max(k + 33, sniffed))
+    seg_len = (seg_len + 7) & ~7  # packed path needs L % 8 == 0
     stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
-    if accumulator == "device":
-        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
-
-        acc = DeviceCountAccumulator(k)
-    else:
-        acc = CountAccumulator(k)
-    # producer thread overlaps host parsing with (async) device dispatch
+    # The producer thread overlaps host parsing, 2-bit packing, AND the h2d
+    # copy (the relay link on this rig is ~33MB/s; packed codes are 4x
+    # smaller) with device dispatch.
     from kmcex_tpu.utils import prefetch_iterator
 
-    for codes in prefetch_iterator(iter(stream), depth=3):
-        acc.add_batch(codes)
+    if accumulator == "device":
+        import jax
+
+        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+        from kmcex_tpu.count.extract import pack_codes_np
+
+        acc = DeviceCountAccumulator(k)
+
+        def transform(codes):
+            packed, maskbits = pack_codes_np(codes)
+            return jax.device_put((packed, maskbits))
+
+        for packed, maskbits in prefetch_iterator(
+            iter(stream), depth=3, transform=transform
+        ):
+            acc.add_batch_packed(packed, maskbits)
+    else:
+        acc = CountAccumulator(k)
+        for codes in prefetch_iterator(iter(stream), depth=3):
+            acc.add_batch(codes)
     kmers, counts = acc.finalize(ci, cs)
     stats = PipelineStats(
         reads=stream.reads,

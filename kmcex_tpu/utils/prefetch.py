@@ -9,20 +9,26 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
 
 _STOP = object()
 
 
-def prefetch_iterator(it: Iterable[T], depth: int = 3) -> Iterator[T]:
+def prefetch_iterator(
+    it: Iterable[T], depth: int = 3, transform: Callable[[T], T] | None = None
+) -> Iterator[T]:
+    """``transform`` (e.g. ``jax.device_put``) runs in the producer thread so
+    host->device copies overlap the consumer's dispatch work."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
 
     def worker() -> None:
         try:
             for item in it:
+                if transform is not None:
+                    item = transform(item)
                 q.put(item)
         except BaseException as e:  # propagate to consumer
             err.append(e)

@@ -3,7 +3,7 @@
 import numpy as np
 
 from kmcex_tpu.core import codec
-from kmcex_tpu.count.device_lsm import DeviceCountAccumulator, _merge_runs_kernel, _pad_run
+from kmcex_tpu.count.device_lsm import DeviceCountAccumulator, _merge_runs_kernel
 from kmcex_tpu.count.extract import SENTINEL
 
 
@@ -34,6 +34,62 @@ def test_device_accumulator_matches_numpy():
 
         flat = np.asarray(extract_canonical(codes, k)[0])
         all_kmers.append(flat[flat != 0xFFFFFFFFFFFFFFFF])
+    kmers, counts = acc.finalize(ci=1)
+    want_k, want_c = np.unique(np.concatenate(all_kmers), return_counts=True)
+    np.testing.assert_array_equal(kmers, want_k)
+    np.testing.assert_array_equal(counts, want_c.astype(np.uint32))
+
+
+def test_packed_extract_matches_unpacked():
+    rng = np.random.default_rng(5)
+    k = 21
+    codes = rng.integers(0, 4, size=(32, 96)).astype(np.uint8)
+    codes[rng.random(codes.shape) < 0.05] = 255
+    from kmcex_tpu.count.extract import (
+        extract_canonical,
+        extract_canonical_packed,
+        pack_codes_np,
+    )
+
+    want, n_want = extract_canonical(codes, k)
+    packed, maskbits = pack_codes_np(codes)
+    got, n_got = extract_canonical_packed(packed, maskbits, k)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert int(n_got) == int(n_want)
+
+
+def test_device_accumulator_packed_matches():
+    rng = np.random.default_rng(6)
+    k = 17
+    acc = DeviceCountAccumulator(k)
+    acc2 = DeviceCountAccumulator(k)
+    from kmcex_tpu.count.extract import pack_codes_np
+
+    for _ in range(3):
+        codes = rng.integers(0, 4, size=(64, 80)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.03] = 255
+        acc.add_batch(codes)
+        acc2.add_batch_packed(*pack_codes_np(codes))
+    k1, c1 = acc.finalize(ci=1)
+    k2, c2 = acc2.finalize(ci=1)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_device_accumulator_tiny_tiers():
+    """Force raw-tier collapses + LSM merges with a tiny tier limit."""
+    rng = np.random.default_rng(2)
+    k = 17
+    acc = DeviceCountAccumulator(k, raw_tier_elems=2000)
+    all_kmers = []
+    from kmcex_tpu.count.extract import extract_canonical
+
+    for _ in range(9):
+        codes = rng.integers(0, 4, size=(16, 80)).astype(np.uint8)
+        acc.add_batch(codes)
+        flat = np.asarray(extract_canonical(codes, k)[0])
+        all_kmers.append(flat[flat != 0xFFFFFFFFFFFFFFFF])
+    assert len(acc.runs) >= 1  # collapses actually happened mid-stream
     kmers, counts = acc.finalize(ci=1)
     want_k, want_c = np.unique(np.concatenate(all_kmers), return_counts=True)
     np.testing.assert_array_equal(kmers, want_k)
