@@ -96,29 +96,27 @@ def main() -> None:
         log("generating synthetic FASTQ ...")
         make_fastq(fq)
 
-    from kmcex_tpu.count.pipeline import count_fastq
+    from kmcex_tpu.count.pipeline import count_encode
     from kmcex_tpu.io import kmc_db
-    from kmcex_tpu.model.kmodel import get_model
 
     kwargs = {}
     if BATCH_SEGS:
         kwargs["batch_segs"] = BATCH_SEGS
     # Warm-up pass compiles the kernels (cached for the measured pass).
     log("warm-up (compilation) ...")
-    count_fastq(str(fq), k=K, ci=CI, cs=CS, **kwargs)
+    count_encode(str(fq), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB, **kwargs)
 
     # Best of 3 measured passes: this rig's relay/host timing is noisy.
     best = None
     for rep in range(3):
         log(f"measured pass {rep + 1}/3 ...")
         t0 = time.time()
-        kmers, counts, stats = count_fastq(str(fq), k=K, ci=CI, cs=CS, **kwargs)
-        t_count = time.time() - t0
-        km = get_model(CI, CS, NH, NB)
-        km.init_from_pairs(kmers, counts, K)
+        km, kmers, counts, stats = count_encode(
+            str(fq), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB, **kwargs
+        )
         t_total = time.time() - t0
         if best is None or t_total < best[0]:
-            best = (t_total, t_count, kmers, counts, stats)
+            best = (t_total, stats.count_seconds, kmers, counts, stats)
     t_total, t_count, kmers, counts, stats = best
     reads_per_s = stats.reads / t_total
     log(

@@ -103,6 +103,29 @@ def _pack_final(kmers, counts, cs: int, narrow: bool):
     return kmers, c
 
 
+@jax.jit
+def _final_stats(kmers, counts, ci):
+    """(total pairs >= ci, histogram of counter==ci+i for i<3) — the
+    reference's pass-1 scan (kmodel.hpp:423-434) computed on device so the
+    host encode can be sized before the table transfer finishes."""
+    valid = (kmers != SENTINEL) & (counts >= ci)
+    total = jnp.sum(valid, dtype=jnp.int64)
+    hist = jnp.stack(
+        [jnp.sum(valid & (counts == ci + i), dtype=jnp.int64) for i in range(3)]
+    )
+    return total, hist
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _split_rows(kmers, counts, n_chunks: int):
+    return kmers.reshape(n_chunks, -1), counts.reshape(n_chunks, -1)
+
+
+@jax.jit
+def _take_row(x, i):
+    return jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+
+
 def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
@@ -183,21 +206,60 @@ class DeviceCountAccumulator:
         while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
             self._merge_top2()
 
-    def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF) -> tuple[np.ndarray, np.ndarray]:
+    def _finalize_device(self, ci: int, cs: int):
+        """Merge everything; returns (kmers, clamped counts) on device or
+        None if empty."""
         self._collapse_raw()
         while len(self.runs) >= 2:
             self._merge_top2()
         if not self.runs:
-            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
-        u, c, size = self.runs[0]
-        if size >= self.SHRINK_THRESHOLD:
-            # final tight pad before the (slow) host pull
-            pass  # already shrunk in _merge_top2/_collapse_raw
+            return None
+        u, c, _ = self.runs[0]
         narrow = cs < (1 << 16)
-        u, c = _pack_final(u, c, int(cs), narrow)
-        kmers = np.asarray(u)
-        counts = np.asarray(c).astype(np.uint32)
+        return _pack_final(u, c, int(cs), narrow)
+
+    def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF) -> tuple[np.ndarray, np.ndarray]:
+        uc = self._finalize_device(ci, cs)
+        if uc is None:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
+        kmers = np.asarray(uc[0])
+        counts = np.asarray(uc[1]).astype(np.uint32)
         real = kmers != np.uint64(0xFFFFFFFFFFFFFFFF)
         kmers, counts = kmers[real], counts[real]
         keep = counts >= ci
         return kmers[keep], counts[keep]
+
+    def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF, n_chunks: int = 8):
+        """Streaming finalize: returns (total, low_hist, chunk_iter) where
+        ``chunk_iter`` yields (kmers, counts) numpy chunks in ascending-k-mer
+        order, already ci-filtered and cs-clamped.  All device->host copies
+        are started asynchronously up front, so consuming a chunk (e.g.
+        feeding the model encoder) overlaps the remaining transfers — the
+        host link here is ~33MB/s, the same order as the encode itself."""
+        uc = self._finalize_device(ci, cs)
+        if uc is None:
+            return 0, np.zeros(3, dtype=np.int64), iter(())
+        u, c = uc
+        total, hist = _final_stats(u, c, np.uint32(ci))
+        size = u.shape[0]
+        while n_chunks > 1 and size % n_chunks:
+            n_chunks -= 1
+        ur, cr = _split_rows(u, c, n_chunks)
+        rows = []
+        for i in range(n_chunks):
+            su = _take_row(ur, i)
+            sc = _take_row(cr, i)
+            su.copy_to_host_async()
+            sc.copy_to_host_async()
+            rows.append((su, sc))
+        total = int(total)
+        hist = np.asarray(hist)
+
+        def it():
+            for su, sc in rows:
+                ku = np.asarray(su)
+                kc = np.asarray(sc).astype(np.uint32)
+                real = (ku != np.uint64(0xFFFFFFFFFFFFFFFF)) & (kc >= ci)
+                yield ku[real], kc[real]
+
+        return total, hist, it()

@@ -88,23 +88,85 @@ def count_fastq(
     return kmers, counts, stats
 
 
+def count_encode(
+    input_spec: str,
+    k: int = 31,
+    ci: int = 1,
+    cs: int = 1023,
+    num_hash: int = 7,
+    num_bit: int = 5,
+    seg_len: int | None = None,
+    batch_segs: int = fastq.DEFAULT_BATCH_SEGS,
+    keep_pairs: bool = True,
+) -> tuple[KModel, np.ndarray | None, np.ndarray | None, PipelineStats]:
+    """Count + encode with the device->host table pull overlapping the host
+    encode (streaming chunks; bit-identical to the two-phase build).
+
+    Returns (model, kmers, counts, stats); kmers/counts are None unless
+    ``keep_pairs`` (they cost host memory, not time)."""
+    t0 = time.time()
+    if seg_len is None:
+        sniffed = fastq.sniff_read_length(input_spec)
+        seg_len = min(512, max(k + 33, sniffed))
+    seg_len = (seg_len + 7) & ~7
+    stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
+    import jax
+
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+    from kmcex_tpu.count.extract import pack_codes_np
+    from kmcex_tpu.utils import prefetch_iterator
+
+    acc = DeviceCountAccumulator(k)
+
+    def transform(codes):
+        packed, maskbits = pack_codes_np(codes)
+        return jax.device_put((packed, maskbits))
+
+    for packed, maskbits in prefetch_iterator(iter(stream), depth=3, transform=transform):
+        acc.add_batch_packed(packed, maskbits)
+    total, low_hist, chunks = acc.finalize_stream(ci, cs)
+    t_count = time.time() - t0
+
+    collected: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def tee():
+        for ku, kc in chunks:
+            if keep_pairs:
+                collected.append((ku, kc))
+            yield ku, kc
+
+    km = get_model(ci, cs, num_hash, num_bit)
+    km.init_from_chunks(tee(), k, total, low_hist)
+    t_total = time.time() - t0
+    kmers = counts = None
+    if keep_pairs:
+        kmers = np.concatenate([x[0] for x in collected]) if collected else np.zeros(0, np.uint64)
+        counts = np.concatenate([x[1] for x in collected]) if collected else np.zeros(0, np.uint32)
+    stats = PipelineStats(
+        reads=stream.reads,
+        bases=stream.bases,
+        windows=acc.total_windows,
+        distinct_kmers=total,
+        count_seconds=t_count,
+        encode_seconds=t_total - t_count,
+    )
+    return km, kmers, counts, stats
+
+
 def run(params: KParams, save_dir: str | None = None,
         write_db: bool = True) -> tuple[KModel, PipelineStats]:
     """Full kmcEx-equivalent run: count, (optionally) write the KMC1 DB to
     ``output_file_name``, build + save the model under
     ``working_directory/<basename>`` (main.cpp:143-149)."""
-    kmers, counts, stats = count_fastq(
-        params.input_file_name, params.k, params.ci, params.cs
+    km, kmers, counts, stats = count_encode(
+        params.input_file_name, params.k, params.ci, params.cs,
+        params.num_hash, params.num_bit,
     )
     if write_db and params.output_file_name:
         kmc_db.write_kmc1(
             params.output_file_name, kmers, counts.astype(np.uint64), params.k,
             min_count=params.ci, max_count=params.cs,
         )
-    t1 = time.time()
-    km = get_model(params.ci, params.cs, params.num_hash, params.num_bit)
-    km.init_from_pairs(kmers, counts, params.k)
-    stats.encode_seconds = time.time() - t1
     if save_dir is None and params.output_file_name:
         base = pathlib.Path(params.output_file_name).name
         save_dir = str(pathlib.Path(params.working_directory) / base)

@@ -72,18 +72,30 @@ class KModel:
         should be encoded with (ascending value == KMC1 order for our native
         counter); ``counts`` already clamped to [ci, cs].
         """
-        t0 = time.time()
         kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
         counts = np.ascontiguousarray(counts, dtype=np.uint32)
-        self.kmer_length = int(k)
-        self.total_kmer_count = int(len(kmers_u64))
-
         # Pass 1 (kmodel.hpp:423-434): histogram of low counters sizes the BFs.
-        kmer_counts = np.zeros(3, dtype=np.uint64)
-        low_mask = counts < self.ci + self.bf_num
-        low_counts = counts[low_mask]
+        low_hist = np.zeros(3, dtype=np.uint64)
         for i in range(self.bf_num):
-            kmer_counts[i] = np.count_nonzero(low_counts == self.ci + i)
+            low_hist[i] = np.count_nonzero(counts == self.ci + i)
+        self.init_from_chunks(
+            iter([(kmers_u64, counts)]), k, len(kmers_u64), low_hist
+        )
+
+    def init_from_chunks(self, chunk_iter, k: int, total_kmer_count: int,
+                         low_hist: np.ndarray) -> None:
+        """Streaming build: ``chunk_iter`` yields (kmers_u64, counts) chunks
+        in listing order; ``total_kmer_count`` and ``low_hist`` (counts of
+        counter==ci+i for i<3) must cover the whole stream (the reference's
+        pass 1, computed on device by the counting pipeline).  Chunked
+        feeding is bit-identical to a one-shot build — the encode schedule
+        depends only on overall stream order — and lets device->host pulls
+        overlap the encode."""
+        t0 = time.time()
+        self.kmer_length = int(k)
+        self.total_kmer_count = int(total_kmer_count)
+        kmer_counts = np.zeros(3, dtype=np.uint64)
+        kmer_counts[: self.bf_num] = low_hist[: self.bf_num]
         self.bloom = BloomBank(kmer_counts, self.n_hash, self.ci)
         self.km_kmercount = self.total_kmer_count - self.bloom.bf_kmercount
         self._init_km_parameter(self.km_kmercount)
@@ -91,21 +103,24 @@ class KModel:
 
         # Pass 2: route. BF inserts are commutative scatter-ORs -> batched;
         # the coupled-array stream keeps listing order (order-dependent).
-        for i in range(self.bf_num):
-            self.bloom.insert(i, kmers_u64[counts == self.ci + i], k)
-
-        arr_kmers = kmers_u64[~low_mask]
-        arr_occs = counts[~low_mask]
-        if len(arr_kmers):
-            rest_idx = native.encode_bitarrays(
-                arr_kmers, arr_occs, k, self.n_bits, self.n_hash,
-                self.occu_bin.occ2bin_lut,
-                self.bit1.reshape(-1), self.bit2.reshape(-1), self.km_bit_size,
-                self.km_back, self.bit_km_back, self.km_back_num_hash,
-                bucket_size=BUCKET_SIZE,
-            )
-            if len(rest_idx):
-                self.kld.push_back(arr_kmers[rest_idx], arr_occs[rest_idx])
+        enc = native.BitArrayEncoder(
+            k, self.n_bits, self.n_hash, self.occu_bin.occ2bin_lut,
+            self.bit1.reshape(-1), self.bit2.reshape(-1), self.km_bit_size,
+            self.km_back, self.bit_km_back, self.km_back_num_hash,
+            bucket_size=BUCKET_SIZE,
+        )
+        for kmers_u64, counts in chunk_iter:
+            kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
+            counts = np.ascontiguousarray(counts, dtype=np.uint32)
+            low_mask = counts < self.ci + self.bf_num
+            for i in range(self.bf_num):
+                self.bloom.insert(i, kmers_u64[counts == self.ci + i], k)
+            arr_kmers = kmers_u64[~low_mask]
+            if len(arr_kmers):
+                enc.feed(arr_kmers, counts[~low_mask])
+        rest_kmers, rest_occs = enc.finish()
+        if len(rest_kmers):
+            self.kld.push_back(rest_kmers, rest_occs)
         self.kld.build()
         self.build_time_cost = time.time() - t0
 

@@ -45,14 +45,20 @@ def _declare(L: ctypes.CDLL) -> None:
         u64p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_uint64,
         ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
     ]
-    L.kx_encode_bitarrays.restype = None
-    L.kx_encode_bitarrays.argtypes = [
-        u64p, u32p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        u32p, ctypes.c_int64,
+    L.kx_encoder_new.restype = ctypes.c_void_p
+    L.kx_encoder_new.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, u32p, ctypes.c_int64,
         u8p, u8p, ctypes.c_uint64,
-        u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int64,
-        i64p, i64p, ctypes.c_int,
+        u8p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int64, ctypes.c_int,
     ]
+    L.kx_encoder_feed.restype = None
+    L.kx_encoder_feed.argtypes = [ctypes.c_void_p, u64p, u32p, ctypes.c_int64]
+    L.kx_encoder_finish.restype = ctypes.c_int64
+    L.kx_encoder_finish.argtypes = [ctypes.c_void_p]
+    L.kx_encoder_take_rest.restype = None
+    L.kx_encoder_take_rest.argtypes = [ctypes.c_void_p, u64p, u32p]
+    L.kx_encoder_free.restype = None
+    L.kx_encoder_free.argtypes = [ctypes.c_void_p]
     L.kx_find_bitarray.restype = None
     L.kx_find_bitarray.argtypes = [
         u64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -101,33 +107,65 @@ def check_bloom(kmers: np.ndarray, k: int, bf: np.ndarray, bit_len: int,
     return out.astype(bool)
 
 
+class BitArrayEncoder:
+    """Incremental coupled-bit-array encoder (the reference's buffered
+    rotating schedule, kmodel.hpp:508-573).  Chunked ``feed`` is
+    bit-identical to one-shot encoding of the concatenated stream — the
+    schedule depends only on overall order — which lets device->host pulls
+    overlap encoding.  ``finish`` returns (rest_kmers, rest_occs): the
+    k-mers that overflowed into the rest store, in hand-off order."""
+
+    def __init__(self, k: int, n_bits: int, n_hash: int, occ2bin: np.ndarray,
+                 bit1: np.ndarray, bit2: np.ndarray, km_bit_size: int,
+                 km_back: np.ndarray, back_bit_len: int, back_num_hash: int,
+                 bucket_size: int = 1 << 18, n_threads: int = 0):
+        assert bit1.dtype == np.uint8 and bit1.flags.c_contiguous
+        assert bit2.dtype == np.uint8 and bit2.flags.c_contiguous
+        # keep referenced arrays alive for the encoder's lifetime
+        self._refs = (occ2bin, bit1, bit2, km_back)
+        self._occ2bin = np.ascontiguousarray(occ2bin, dtype=np.uint32)
+        self._h = lib().kx_encoder_new(
+            k, n_bits, n_hash,
+            _ptr(self._occ2bin, ctypes.c_uint32), len(self._occ2bin),
+            _ptr(bit1, ctypes.c_uint8), _ptr(bit2, ctypes.c_uint8),
+            km_bit_size,
+            _ptr(km_back, ctypes.c_uint8), back_bit_len, back_num_hash,
+            bucket_size, n_threads or n_threads_default(),
+        )
+
+    def feed(self, kmers: np.ndarray, occs: np.ndarray) -> None:
+        kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
+        occs = np.ascontiguousarray(occs, dtype=np.uint32)
+        lib().kx_encoder_feed(
+            self._h, _ptr(kmers, ctypes.c_uint64),
+            _ptr(occs, ctypes.c_uint32), len(kmers),
+        )
+
+    def finish(self) -> tuple[np.ndarray, np.ndarray]:
+        n = int(lib().kx_encoder_finish(self._h))
+        rk = np.zeros(max(n, 1), dtype=np.uint64)
+        ro = np.zeros(max(n, 1), dtype=np.uint32)
+        lib().kx_encoder_take_rest(
+            self._h, _ptr(rk, ctypes.c_uint64), _ptr(ro, ctypes.c_uint32)
+        )
+        lib().kx_encoder_free(self._h)
+        self._h = None
+        return rk[:n], ro[:n]
+
+
 def encode_bitarrays(
     kmers: np.ndarray, occs: np.ndarray, k: int, n_bits: int, n_hash: int,
     occ2bin: np.ndarray, bit1: np.ndarray, bit2: np.ndarray, km_bit_size: int,
     km_back: np.ndarray, back_bit_len: int, back_num_hash: int,
     bucket_size: int = 1 << 18, n_threads: int = 0,
-) -> np.ndarray:
-    """Run the sequential encode; returns indices (into kmers) of the k-mers
-    that overflowed into the rest store, in reference hand-off order."""
-    kmers = np.ascontiguousarray(kmers, dtype=np.uint64)
-    occs = np.ascontiguousarray(occs, dtype=np.uint32)
-    occ2bin = np.ascontiguousarray(occ2bin, dtype=np.uint32)
-    n = len(kmers)
-    assert bit1.dtype == np.uint8 and bit1.flags.c_contiguous
-    assert bit2.dtype == np.uint8 and bit2.flags.c_contiguous
-    rest_idx = np.zeros(max(n, 1), dtype=np.int64)
-    rest_n = np.zeros(1, dtype=np.int64)
-    lib().kx_encode_bitarrays(
-        _ptr(kmers, ctypes.c_uint64), _ptr(occs, ctypes.c_uint32), n, k,
-        n_bits, n_hash,
-        _ptr(occ2bin, ctypes.c_uint32), len(occ2bin),
-        _ptr(bit1, ctypes.c_uint8), _ptr(bit2, ctypes.c_uint8), km_bit_size,
-        _ptr(km_back, ctypes.c_uint8), back_bit_len, back_num_hash,
-        bucket_size,
-        _ptr(rest_idx, ctypes.c_int64), _ptr(rest_n, ctypes.c_int64),
-        n_threads or n_threads_default(),
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-shot encode; returns (rest_kmers, rest_occs)."""
+    enc = BitArrayEncoder(
+        k, n_bits, n_hash, occ2bin, bit1, bit2, km_bit_size, km_back,
+        back_bit_len, back_num_hash, bucket_size, n_threads,
     )
-    return rest_idx[: rest_n[0]].copy()
+    enc.feed(kmers, occs)
+    return enc.finish()
 
 
 def segment_buffer(

@@ -196,9 +196,10 @@ inline int64_t reorder_buffer(KmerBuf* a, int64_t n) {
 
 }  // namespace
 
-// The full coupled-bit-array encode pass over the array-destined k-mer
-// stream, replicating the reference's buffered rotating schedule
-// (kmodel.hpp:508-573):
+namespace {
+
+// Incremental coupled-bit-array encoder, replicating the reference's
+// buffered rotating schedule (kmodel.hpp:508-573):
 //   * k-mers fill n_bits buckets of bucket_size each, in arrival order;
 //   * when all buckets are full, run n_bits rounds; in round t bucket i
 //     drains into array (i+t)%n_bits (arrays disjoint per round, so the
@@ -206,39 +207,55 @@ inline int64_t reorder_buffer(KmerBuf* a, int64_t n) {
 //   * every successful insert also ORs the middle (k-2)-mer into the global
 //     km_back Bloom filter (commutative, order-free);
 //   * survivors after all rounds go to the rest store in (bucket, slot)
-//     order — reported here as original stream indices.
+//     order — collected here as (kmer, occ) pairs.
+//
+// The incremental (feed/finish) form lets the caller stream chunks as they
+// arrive from the device while earlier chunks are being encoded; the
+// schedule depends only on overall stream order, so chunked feeding is
+// bit-identical to the one-shot pass.
 //
 // occs are raw counters; bins are looked up through occ2bin at insert time
 // (kmodel.hpp:545) via the caller-provided LUT.
 // bit1/bit2: n_bits contiguous arrays of (km_bit_size/8) bytes each.
-// rest_idx_out must have capacity n; *rest_n_out receives the count.
-void kx_encode_bitarrays(const uint64_t* kmers, const uint32_t* occs,
-                         int64_t n, int k, int n_bits, int n_hash,
-                         const uint32_t* occ2bin, int64_t occ2bin_len,
-                         uint8_t* bit1, uint8_t* bit2, uint64_t km_bit_size,
-                         uint8_t* km_back, uint64_t back_bit_len,
-                         int back_num_hash, int64_t bucket_size,
-                         int64_t* rest_idx_out, int64_t* rest_n_out,
-                         int n_threads) {
-  const uint64_t km_byte_size = km_bit_size >> 3;
-  const uint64_t mid_mask = (~0ULL) >> (64 - 2 * (k - 2));
+struct Encoder {
+  int k, n_bits, n_hash, back_num_hash, n_threads;
+  const uint32_t* occ2bin;
+  int64_t occ2bin_len;
+  uint8_t *bit1, *bit2, *km_back;
+  uint64_t km_bit_size, km_byte_size, back_bit_len, mid_mask;
+  int64_t bucket_size, cap, idx;
+  std::vector<std::vector<uint32_t>> seeds;
+  std::vector<std::vector<KmerBuf>> buf;
+  std::vector<int64_t> buf_n;
+  std::vector<uint64_t> rest_kmers;
+  std::vector<uint32_t> rest_occs;
 
-  // Per-array seed tables: seeds[i][j] = kHashSeeds[(i*n_hash + j) % 128]
-  // (kmodel.hpp:450-453).
-  std::vector<std::vector<uint32_t>> seeds(n_bits);
-  for (int i = 0; i < n_bits; i++) {
-    seeds[i].resize(n_hash);
-    for (int j = 0; j < n_hash; j++) seeds[i][j] = kHashSeeds[(i * n_hash + j) % 128];
+  Encoder(int k_, int n_bits_, int n_hash_, const uint32_t* occ2bin_,
+          int64_t occ2bin_len_, uint8_t* bit1_, uint8_t* bit2_,
+          uint64_t km_bit_size_, uint8_t* km_back_, uint64_t back_bit_len_,
+          int back_num_hash_, int64_t bucket_size_, int n_threads_)
+      : k(k_), n_bits(n_bits_), n_hash(n_hash_),
+        back_num_hash(back_num_hash_), n_threads(n_threads_),
+        occ2bin(occ2bin_), occ2bin_len(occ2bin_len_), bit1(bit1_),
+        bit2(bit2_), km_back(km_back_), km_bit_size(km_bit_size_),
+        km_byte_size(km_bit_size_ >> 3), back_bit_len(back_bit_len_),
+        mid_mask((~0ULL) >> (64 - 2 * (k_ - 2))), bucket_size(bucket_size_),
+        cap(bucket_size_ * n_bits_), idx(0) {
+    // Per-array seed tables: seeds[i][j] = kHashSeeds[(i*n_hash + j) % 128]
+    // (kmodel.hpp:450-453).
+    seeds.resize(n_bits);
+    buf.resize(n_bits);
+    buf_n.assign(n_bits, bucket_size);
+    for (int i = 0; i < n_bits; i++) {
+      seeds[i].resize(n_hash);
+      for (int j = 0; j < n_hash; j++)
+        seeds[i][j] = kHashSeeds[(i * n_hash + j) % 128];
+      buf[i].resize(bucket_size);
+    }
   }
 
-  std::vector<std::vector<KmerBuf>> buf(n_bits);
-  std::vector<int64_t> buf_n(n_bits, bucket_size);
-  for (int i = 0; i < n_bits; i++) buf[i].resize(bucket_size);
-
-  int64_t rest_n = 0;
-
   // Drain one bucket into one array, sequentially (kmodel.hpp:543-555).
-  auto insert_array = [&](int bucket, int array, int64_t& real_n) {
+  void insert_array(int bucket, int array, int64_t& real_n) {
     KmerBuf* a = buf[bucket].data();
     uint8_t* b1 = bit1 + (uint64_t)array * km_byte_size;
     uint8_t* b2 = bit2 + (uint64_t)array * km_byte_size;
@@ -260,11 +277,11 @@ void kx_encode_bitarrays(const uint64_t* kmers, const uint32_t* occs,
       }
     }
     real_n = reorder_buffer(a, real_n);
-  };
+  }
 
   // Flush: n_bits rounds of the rotation, then survivors to rest
   // (kmodel.hpp:557-573).
-  auto flush = [&]() {
+  void flush() {
     for (int t = 0; t < n_bits; t++) {
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(n_threads) schedule(dynamic, 1)
@@ -275,36 +292,68 @@ void kx_encode_bitarrays(const uint64_t* kmers, const uint32_t* occs,
     }
     for (int i = 0; i < n_bits; i++) {
       for (int64_t j = 0; j < buf_n[i]; j++) {
-        rest_idx_out[rest_n++] = buf[i][j].orig_idx;
+        rest_kmers.push_back(buf[i][j].kmer);
+        rest_occs.push_back(buf[i][j].occ);
       }
       buf_n[i] = bucket_size;
     }
-  };
+  }
 
-  const int64_t cap = bucket_size * n_bits;
-  int64_t idx = 0;  // km_buff_idx
-  for (int64_t i = 0; i < n; i++) {
-    int64_t row = idx / bucket_size, col = idx % bucket_size;
-    buf[row][col].kmer = kmers[i];
-    buf[row][col].occ = occs[i];
-    buf[row][col].orig_idx = i;
-    idx++;
-    if (idx >= cap) {
-      flush();
-      idx = 0;
+  void feed(const uint64_t* kmers, const uint32_t* occs, int64_t n) {
+    for (int64_t i = 0; i < n; i++) {
+      int64_t row = idx / bucket_size, col = idx % bucket_size;
+      buf[row][col].kmer = kmers[i];
+      buf[row][col].occ = occs[i];
+      buf[row][col].orig_idx = 0;
+      idx++;
+      if (idx >= cap) {
+        flush();
+        idx = 0;
+      }
     }
   }
+
   // Tail flush (kmodel.hpp:520-527): partial bucket lengths, then one flush.
-  {
-    int64_t row = (idx - 1) / bucket_size;  // idx==0 -> row 0, col -1 (C semantics)
+  void finish() {
+    int64_t row = (idx - 1) / bucket_size;
     int64_t col = (idx - 1) % bucket_size;
     if (idx == 0) { row = 0; col = -1; }
     buf_n[row] = col + 1;
     for (int i = (int)row + 1; i < n_bits; i++) buf_n[i] = 0;
     flush();
   }
-  *rest_n_out = rest_n;
+};
+
+}  // namespace
+
+void* kx_encoder_new(int k, int n_bits, int n_hash, const uint32_t* occ2bin,
+                     int64_t occ2bin_len, uint8_t* bit1, uint8_t* bit2,
+                     uint64_t km_bit_size, uint8_t* km_back,
+                     uint64_t back_bit_len, int back_num_hash,
+                     int64_t bucket_size, int n_threads) {
+  return new Encoder(k, n_bits, n_hash, occ2bin, occ2bin_len, bit1, bit2,
+                     km_bit_size, km_back, back_bit_len, back_num_hash,
+                     bucket_size, n_threads);
 }
+
+void kx_encoder_feed(void* h, const uint64_t* kmers, const uint32_t* occs,
+                     int64_t n) {
+  ((Encoder*)h)->feed(kmers, occs, n);
+}
+
+int64_t kx_encoder_finish(void* h) {
+  Encoder* e = (Encoder*)h;
+  e->finish();
+  return (int64_t)e->rest_kmers.size();
+}
+
+void kx_encoder_take_rest(void* h, uint64_t* kmers_out, uint32_t* occs_out) {
+  Encoder* e = (Encoder*)h;
+  memcpy(kmers_out, e->rest_kmers.data(), e->rest_kmers.size() * 8);
+  memcpy(occs_out, e->rest_occs.data(), e->rest_occs.size() * 4);
+}
+
+void kx_encoder_free(void* h) { delete (Encoder*)h; }
 
 // Batched coupled-array probe (query side, kmodel.hpp:625-646): for each
 // k-mer and each array, if all n_hash tag bits are set, decode the value

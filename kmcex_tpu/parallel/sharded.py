@@ -101,6 +101,75 @@ def build_sharded_count_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
     return step
 
 
+def build_sharded_merge(mesh: Mesh):
+    """Jitted pairwise merge of two per-shard sorted (kmer,count) run sets
+    ([n_shards, size] arrays sharded over the mesh); partitions are disjoint
+    by the owner hash, so each shard merges independently — no collectives."""
+    from kmcex_tpu.count.device_lsm import _merge_runs_kernel
+
+    def local(ka, ca, kb, cb):  # local blocks [1, size]
+        u, c, nu = _merge_runs_kernel(ka[0], ca[0], kb[0], cb[0])
+        return u[None, :], c[None, :], nu[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
+            out_specs=(P("shard"), P("shard"), P("shard")),
+        )
+    )
+
+
+class ShardedCountAccumulator:
+    """Streaming multi-chip counting: every batch is extracted and routed to
+    owner shards (``build_sharded_count_step``), producing per-shard sorted
+    runs that accumulate in a per-shard LSM (pairwise sharded merges, no
+    collectives after the initial all_to_all).  The TPU analogue of KMC's
+    out-of-core bins: the global table never exists on one chip.
+
+    Cites: the distributed design in SURVEY.md §5; single-chip counterpart
+    count/device_lsm.DeviceCountAccumulator."""
+
+    def __init__(self, mesh: Mesh, k: int, seg_rows: int, seg_len: int):
+        self.mesh = mesh
+        self.k = k
+        self.n = mesh.devices.size
+        self.seg_rows = seg_rows
+        self.seg_len = seg_len
+        self.step = build_sharded_count_step(mesh, k, seg_rows, seg_len)
+        self.merge = build_sharded_merge(mesh)
+        self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []
+        self.total_windows = 0
+
+    def add_batch(self, codes: np.ndarray) -> None:
+        uniq, counts, _, windows = self.step(codes)
+        self.total_windows += int(windows)
+        self.runs.append((uniq, counts, uniq.shape[1]))
+        while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
+            kb, cb, _ = self.runs.pop()
+            ka, ca, _ = self.runs.pop()
+            u, c, _ = self.merge(ka, ca, kb, cb)
+            self.runs.append((u, c, u.shape[1]))
+
+    def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF):
+        """Merge everything; returns global host-side (kmers, counts) sorted
+        ascending (per-shard partitions are pulled and merged on host)."""
+        while len(self.runs) >= 2:
+            kb, cb, _ = self.runs.pop()
+            ka, ca, _ = self.runs.pop()
+            u, c, _ = self.merge(ka, ca, kb, cb)
+            self.runs.append((u, c, u.shape[1]))
+        if not self.runs:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
+        u, c, _ = self.runs[0]
+        ku = np.asarray(u).reshape(-1)
+        kc = np.asarray(c).reshape(-1).astype(np.uint32)
+        real = (ku != np.uint64(0xFFFFFFFFFFFFFFFF)) & (kc >= ci)
+        ku, kc = ku[real], kc[real]
+        order = np.argsort(ku, kind="stable")
+        return ku[order], np.minimum(kc[order], np.uint32(cs))
+
+
 def sharded_count(codes: np.ndarray, mesh: Mesh, k: int):
     """Count canonical k-mers of one batch across the mesh; returns merged
     host-side (kmers, counts) plus the per-shard partitions."""

@@ -45,3 +45,26 @@ def test_owner_balance():
     owners = np.asarray(sharded.owner_of(kmers, 8))
     frac = np.bincount(owners, minlength=8) / len(owners)
     assert frac.max() < 0.16 and frac.min() > 0.09  # ~0.125 each
+
+
+def test_sharded_accumulator_matches_single_device():
+    import numpy as np
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+    from kmcex_tpu.parallel import sharded
+
+    rng = np.random.default_rng(11)
+    k = 19
+    n = 8
+    rows, L = 16, 72
+    mesh = sharded.make_mesh(n)
+    acc = sharded.ShardedCountAccumulator(mesh, k, rows // n, L)
+    ref = DeviceCountAccumulator(k)
+    for _ in range(5):
+        codes = rng.integers(0, 4, size=(rows, L)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.02] = 255
+        acc.add_batch(codes)
+        ref.add_batch(codes)
+    got_k, got_c = acc.finalize(ci=1, cs=1023)
+    want_k, want_c = ref.finalize(ci=1, cs=1023)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
