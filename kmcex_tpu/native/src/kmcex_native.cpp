@@ -72,12 +72,86 @@ inline uint64_t murmur64(const void* key, int len, uint32_t seed) {
 
 // Render the ASCII string of a 2-bit packed k-mer (MSB-first, A=0 C=1 G=2
 // T=3) — the hashes run over ASCII, not packed bits (kmodel.hpp:600).
-inline void to_ascii(uint64_t v, int k, char* out) {
-  static const char ACGT[4] = {'A', 'C', 'G', 'T'};
-  for (int i = k - 1; i >= 0; i--) {
-    out[i] = ACGT[v & 3];
-    v >>= 2;
+// A 256-entry byte->4-chars table emits four bases per lookup.
+struct Ascii4Lut {
+  uint32_t t[256];
+  Ascii4Lut() {
+    static const char ACGT[4] = {'A', 'C', 'G', 'T'};
+    for (int b = 0; b < 256; b++) {
+      // MSB-first within the byte -> first char from the top 2 bits
+      uint32_t v = 0;
+      for (int i = 0; i < 4; i++) {
+        v |= (uint32_t)(uint8_t)ACGT[(b >> (6 - 2 * i)) & 3] << (8 * i);
+      }
+      t[b] = v;  // little-endian u32 = chars in memory order
+    }
   }
+};
+static const Ascii4Lut kAscii4;
+
+inline void to_ascii(uint64_t v, int k, char* out) {
+  // left-align to 32 bases so byte j (MSB-first) yields chars 4j..4j+3
+  uint64_t a = v << (2 * (32 - k));
+  for (int j = 0; j < 8; j++) {
+    uint32_t c4 = kAscii4.t[(uint8_t)(a >> (56 - 8 * j))];
+    memcpy(out + 4 * j, &c4, 4);  // writes up to 32 chars; callers' bufs are 64B
+  }
+}
+
+// Seed-independent murmur precomputation: the per-8-byte-block mix
+// k*=m; k^=k>>r; k*=m does not involve the seed, so for the many
+// (seed_j) evaluations of the SAME string (nh probes x n_bits arrays) the
+// blocks are mixed once and each evaluation is just xor-mul folds.
+struct MurmurPre {
+  uint64_t f[8];
+  uint64_t tail;
+  int nfull;
+  int len;
+};
+
+inline void murmur_pre(const void* key, int len, MurmurPre& p) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  const uint8_t* d = (const uint8_t*)key;
+  p.nfull = len / 8;
+  p.len = len;
+  for (int i = 0; i < p.nfull; i++) {
+    uint64_t k;
+    memcpy(&k, d + 8 * i, 8);
+    k *= m;
+    k ^= k >> r;
+    k *= m;
+    p.f[i] = k;
+  }
+  p.tail = 0;
+  const uint8_t* t = d + 8 * p.nfull;
+  switch (len & 7) {
+    case 7: p.tail ^= (uint64_t)t[6] << 48; // fallthrough
+    case 6: p.tail ^= (uint64_t)t[5] << 40; // fallthrough
+    case 5: p.tail ^= (uint64_t)t[4] << 32; // fallthrough
+    case 4: p.tail ^= (uint64_t)t[3] << 24; // fallthrough
+    case 3: p.tail ^= (uint64_t)t[2] << 16; // fallthrough
+    case 2: p.tail ^= (uint64_t)t[1] << 8;  // fallthrough
+    case 1: p.tail ^= (uint64_t)t[0];
+  }
+}
+
+inline uint64_t murmur_eval(const MurmurPre& p, uint32_t seed) {
+  const uint64_t m = 0xc6a4a7935bd1e995ULL;
+  const int r = 47;
+  uint64_t h = seed ^ ((uint64_t)p.len * m);
+  for (int i = 0; i < p.nfull; i++) {
+    h ^= p.f[i];
+    h *= m;
+  }
+  if (p.len & 7) {
+    h ^= p.tail;
+    h *= m;
+  }
+  h ^= h >> r;
+  h *= m;
+  h ^= h >> r;
+  return h;
 }
 
 // Atomic bit set, MSB-first within byte (kmodel.hpp:576-581).
@@ -123,8 +197,10 @@ void kx_insert_bloom(const uint64_t* kmers, int64_t n, int k, uint8_t* bf,
     uint64_t v = kmers[i];
     if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
     to_ascii(v, klen, buf);
+    MurmurPre pre;
+    murmur_pre(buf, klen, pre);
     for (int j = 0; j < num_hash; j++) {
-      set_bit(bf, murmur64(buf, klen, kHashSeeds[j]) % bf_bitlen);
+      set_bit(bf, murmur_eval(pre, kHashSeeds[j]) % bf_bitlen);
     }
   }
 }
@@ -143,9 +219,11 @@ void kx_check_bloom(const uint64_t* kmers, int64_t n, int k,
     uint64_t v = kmers[i];
     if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
     to_ascii(v, klen, buf);
+    MurmurPre pre;
+    murmur_pre(buf, klen, pre);
     uint8_t ok = 1;
     for (int j = 0; j < num_hash && ok; j++) {
-      ok = check_bit(bf, murmur64(buf, klen, kHashSeeds[j]) % bf_bitlen);
+      ok = check_bit(bf, murmur_eval(pre, kHashSeeds[j]) % bf_bitlen);
     }
     out[i] = ok;
   }
@@ -157,13 +235,13 @@ namespace {
 // bit j of `bin` goes to position murmur(ascii, seed[index][j]) % len in
 // bit_array_1, with the tag set in bit_array_2 — allowed only if no already-
 // tagged probe position disagrees with the bin bit.
-inline bool insert_to_array(const char* ascii, int k, uint32_t bin,
+inline bool insert_to_array(const MurmurPre& pre, uint32_t bin,
                             uint8_t* bit1, uint8_t* bit2, uint64_t bit_len,
                             int n_hash, const uint32_t* seeds) {
   uint64_t pos[32];
   uint32_t b = bin;
   for (int j = 0; j < n_hash; j++) {
-    pos[j] = murmur64(ascii, k, seeds[j]) % bit_len;
+    pos[j] = murmur_eval(pre, seeds[j]) % bit_len;
   }
   for (int j = 0; j < n_hash; j++) {
     bool v1 = check_bit(bit1, pos[j]);
@@ -263,15 +341,19 @@ struct Encoder {
     char ascii[64];
     for (int64_t c = 0; c < real_n; c++) {
       to_ascii(a[c].kmer, k, ascii);
+      MurmurPre pre;
+      murmur_pre(ascii, k, pre);
       uint32_t occ = a[c].occ;
       uint32_t bin = (occ < (uint64_t)occ2bin_len) ? occ2bin[occ] : 0;
-      if (insert_to_array(ascii, k, bin, b1, b2, km_bit_size, n_hash, sd)) {
+      if (insert_to_array(pre, bin, b1, b2, km_bit_size, n_hash, sd)) {
         // middle (k-2)-mer into km_back (kmodel.hpp:546-551)
         uint64_t mid = (a[c].kmer >> 2) & mid_mask;
         char mascii[64];
         to_ascii(mid, k - 2, mascii);
+        MurmurPre mpre;
+        murmur_pre(mascii, k - 2, mpre);
         for (int j = 0; j < back_num_hash; j++) {
-          set_bit(km_back, murmur64(mascii, k - 2, kHashSeeds[j]) % back_bit_len);
+          set_bit(km_back, murmur_eval(mpre, kHashSeeds[j]) % back_bit_len);
         }
         a[c].occ = 0;
       }
@@ -375,13 +457,15 @@ void kx_find_bitarray(const uint64_t* kmers, int64_t n, int k, int n_bits,
   for (int64_t i = 0; i < n; i++) {
     char ascii[64];
     to_ascii(kmers[i], k, ascii);
+    MurmurPre pre;
+    murmur_pre(ascii, k, pre);
     for (int a = 0; a < n_bits; a++) {
       const uint8_t* b1 = bit1 + (uint64_t)a * km_byte_size;
       const uint8_t* b2 = bit2 + (uint64_t)a * km_byte_size;
       bool ok = true;
       int32_t bin = 0;
       for (int j = 0; j < n_hash; j++) {
-        uint64_t pos = murmur64(ascii, k, seeds[a][j]) % km_bit_size;
+        uint64_t pos = murmur_eval(pre, seeds[a][j]) % km_bit_size;
         bin |= ((int32_t)check_bit(b1, pos)) << j;
         if (!check_bit(b2, pos)) ok = false;  // no early break: matches ref
       }
