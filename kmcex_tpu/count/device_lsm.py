@@ -105,15 +105,44 @@ def _pack_final(kmers, counts, cs: int, narrow: bool):
 
 @jax.jit
 def _final_stats(kmers, counts, ci):
-    """(total pairs >= ci, histogram of counter==ci+i for i<3) — the
-    reference's pass-1 scan (kmodel.hpp:423-434) computed on device so the
-    host encode can be sized before the table transfer finishes."""
+    """One fused pass over the final table: encode-sizing stats (the
+    reference's pass 1, kmodel.hpp:423-434) plus the delta-transfer
+    parameters, so one tiny pull decides everything before table bytes move.
+
+    Returns (total pairs >= ci, histogram of counter==ci+i for i<3, n_real,
+    max_gap between consecutive real k-mers, first k-mer)."""
     valid = (kmers != SENTINEL) & (counts >= ci)
     total = jnp.sum(valid, dtype=jnp.int64)
     hist = jnp.stack(
         [jnp.sum(valid & (counts == ci + i), dtype=jnp.int64) for i in range(3)]
     )
-    return total, hist
+    real = kmers != SENTINEL  # contiguous prefix: sentinels sort last
+    n_real = jnp.sum(real, dtype=jnp.int64)
+    idx = jnp.arange(kmers.shape[0])
+    prev = jnp.concatenate([kmers[:1], kmers[:-1]])
+    gap = jnp.where(real & (idx > 0), kmers - prev, 0)
+    max_gap = jnp.max(gap)
+    return total, hist, n_real, max_gap, kmers[0]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _delta_pack(kmers, counts, wbytes: int, n_chunks: int, cs: int, narrow: bool):
+    """Bitpack the sorted table for transfer over the slow host link:
+    consecutive-k-mer deltas at ``wbytes`` bytes each (byte-aligned
+    little-endian; the sorted table's gaps are far below 2^64) plus clamped
+    counts, both reshaped to n_chunks rows for async chunked pulls.  The
+    native kx_decode_deltas reverses it at memory speed."""
+    d = kmers - jnp.concatenate([kmers[:1], kmers[:-1]])
+    d = jnp.where(jnp.arange(kmers.shape[0]) == 0, 0, d)  # first sent via stats
+    kb = jnp.stack(
+        [((d >> jnp.uint64(8 * j)) & jnp.uint64(0xFF)).astype(jnp.uint8)
+         for j in range(wbytes)],
+        axis=1,
+    )  # [n, wbytes]
+    c = jnp.minimum(counts, jnp.uint32(cs))
+    if narrow:
+        c = c.astype(jnp.uint16)
+    return kb.reshape(n_chunks, -1), c.reshape(n_chunks, -1)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
@@ -139,13 +168,21 @@ class DeviceCountAccumulator:
     # unique count); above it, one scalar sync lets us shrink the pad so
     # memory and future merge cost track the true distinct-k-mer count.
     SHRINK_THRESHOLD = 1 << 23
+    # Runs at or above this many entries leave HBM: they are pulled to host
+    # RAM and merged there by the native two-pointer merge.  Genome-scale
+    # tables (NA12878 31-mers: billions of distinct k-mers) cannot live on
+    # one chip; the device stays a fast "memtable" level of the LSM.
+    SPILL_THRESHOLD = 128 << 20
 
-    def __init__(self, k: int, raw_tier_elems: int | None = None):
+    def __init__(self, k: int, raw_tier_elems: int | None = None,
+                 spill_threshold: int | None = None):
         self.k = k
         self.raw_tier_elems = raw_tier_elems or self.RAW_TIER_ELEMS
+        self.spill_threshold = spill_threshold or self.SPILL_THRESHOLD
         self.raw: list[jnp.ndarray] = []
         self.raw_elems = 0
         self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
+        self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
         self.total_windows = 0
 
     def add_batch(self, codes) -> None:
@@ -187,8 +224,11 @@ class DeviceCountAccumulator:
             uniq = jnp.concatenate([uniq, jnp.full((pad,), SENTINEL, jnp.uint64)])
             counts = jnp.concatenate([counts, jnp.zeros((pad,), jnp.uint32)])
             size = psize
-        self.runs.append((uniq, counts, size))
-        self._rebalance()
+        if size >= self.spill_threshold:
+            self._spill(uniq, counts)
+        else:
+            self.runs.append((uniq, counts, size))
+            self._rebalance()
 
     def _merge_top2(self) -> None:
         kb, cb, sb = self.runs.pop()
@@ -200,30 +240,70 @@ class DeviceCountAccumulator:
             if shrunk < size:
                 u, c = u[:shrunk], c[:shrunk]
                 size = shrunk
-        self.runs.append((u, c, size))
+        if size >= self.spill_threshold:
+            self._spill(u, c)
+        else:
+            self.runs.append((u, c, size))
+
+    def _spill(self, u, c) -> None:
+        """Pull a device run to host RAM and fold it into the host LSM level
+        (native two-pointer merge; raw counts — ci/cs apply at finalize)."""
+        ku = np.asarray(u)
+        kc = np.asarray(c).astype(np.uint32, copy=False)
+        real = ku != np.uint64(0xFFFFFFFFFFFFFFFF)
+        ku, kc = ku[real], kc[real]
+        if not len(ku):
+            return
+        self.host_runs.append((ku, kc))
+        from kmcex_tpu import native
+
+        while (len(self.host_runs) >= 2
+               and len(self.host_runs[-2][0]) < 2 * len(self.host_runs[-1][0])):
+            kb, cb = self.host_runs.pop()
+            ka, ca = self.host_runs.pop()
+            self.host_runs.append(native.merge_runs(ka, ca, kb, cb))
 
     def _rebalance(self) -> None:
         while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
             self._merge_top2()
 
-    def _finalize_device(self, ci: int, cs: int):
-        """Merge everything; returns (kmers, clamped counts) on device or
-        None if empty."""
+    def _merge_device_runs(self):
+        """Collapse raw tier and merge device runs down to at most one."""
         self._collapse_raw()
         while len(self.runs) >= 2:
             self._merge_top2()
-        if not self.runs:
+
+    def _finalize_host(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """When spills happened: fold any remaining device run into the host
+        level and merge host runs to one.  Returns raw (kmers, counts) or
+        None when nothing spilled."""
+        if not self.host_runs:
             return None
-        u, c, _ = self.runs[0]
-        narrow = cs < (1 << 16)
-        return _pack_final(u, c, int(cs), narrow)
+        if self.runs:
+            u, c, _ = self.runs.pop()
+            self._spill(u, c)
+        from kmcex_tpu import native
+
+        while len(self.host_runs) >= 2:
+            kb, cb = self.host_runs.pop()
+            ka, ca = self.host_runs.pop()
+            self.host_runs.append(native.merge_runs(ka, ca, kb, cb))
+        return self.host_runs[0]
 
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF) -> tuple[np.ndarray, np.ndarray]:
-        uc = self._finalize_device(ci, cs)
-        if uc is None:
+        self._merge_device_runs()
+        host = self._finalize_host()
+        if host is not None:
+            kmers, counts = host
+            keep = counts >= ci
+            return kmers[keep], np.minimum(counts[keep], np.uint32(cs))
+        if not self.runs:
             return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
-        kmers = np.asarray(uc[0])
-        counts = np.asarray(uc[1]).astype(np.uint32)
+        u, c, _ = self.runs[0]
+        narrow = cs < (1 << 16)
+        u, c = _pack_final(u, c, int(cs), narrow)
+        kmers = np.asarray(u)
+        counts = np.asarray(c).astype(np.uint32)
         real = kmers != np.uint64(0xFFFFFFFFFFFFFFFF)
         kmers, counts = kmers[real], counts[real]
         keep = counts >= ci
@@ -232,34 +312,69 @@ class DeviceCountAccumulator:
     def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF, n_chunks: int = 8):
         """Streaming finalize: returns (total, low_hist, chunk_iter) where
         ``chunk_iter`` yields (kmers, counts) numpy chunks in ascending-k-mer
-        order, already ci-filtered and cs-clamped.  All device->host copies
-        are started asynchronously up front, so consuming a chunk (e.g.
-        feeding the model encoder) overlaps the remaining transfers — the
-        host link here is ~33MB/s, the same order as the encode itself."""
-        uc = self._finalize_device(ci, cs)
-        if uc is None:
+        order, already ci-filtered and cs-clamped.
+
+        The table crosses the slow host link (~33MB/s relay here) as
+        byte-aligned k-mer deltas + narrowed counts, in async chunked pulls
+        started up front; all-padding rows are never transferred; consuming
+        a chunk (feeding the model encoder) overlaps later transfers."""
+        self._merge_device_runs()
+        host = self._finalize_host()
+        if host is not None:
+            kmers, counts = host
+            valid = counts >= ci
+            total = int(np.count_nonzero(valid))
+            hist = np.array(
+                [np.count_nonzero(counts == ci + i) for i in range(3)],
+                dtype=np.int64,
+            )
+            m = max(1, -(-len(kmers) // max(n_chunks, 1)))
+
+            def hit():
+                for a in range(0, len(kmers), m):
+                    ku = kmers[a : a + m]
+                    kc = counts[a : a + m]
+                    keep = kc >= ci
+                    yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
+
+            return total, hist, hit()
+        if not self.runs:
             return 0, np.zeros(3, dtype=np.int64), iter(())
-        u, c = uc
-        total, hist = _final_stats(u, c, np.uint32(ci))
-        size = u.shape[0]
+        u, c, size = self.runs[0]
+        total, hist, n_real, max_gap, first = _final_stats(u, c, np.uint32(ci))
+        total = int(total)
+        hist = np.asarray(hist)
+        n_real = int(n_real)
+        if n_real == 0:
+            return 0, hist, iter(())
+        wbytes = max(1, (int(max_gap).bit_length() + 7) // 8)
+        first = int(first)
         while n_chunks > 1 and size % n_chunks:
             n_chunks -= 1
-        ur, cr = _split_rows(u, c, n_chunks)
+        narrow = cs < (1 << 16)
+        krows, crows = _delta_pack(u, c, wbytes, n_chunks, int(cs), narrow)
+        m = size // n_chunks  # entries per row
         rows = []
         for i in range(n_chunks):
-            su = _take_row(ur, i)
-            sc = _take_row(cr, i)
+            if i * m >= n_real:
+                break  # trailing rows are pure padding; skip the transfer
+            su = _take_row(krows, i)
+            sc = _take_row(crows, i)
             su.copy_to_host_async()
             sc.copy_to_host_async()
             rows.append((su, sc))
-        total = int(total)
-        hist = np.asarray(hist)
 
         def it():
-            for su, sc in rows:
-                ku = np.asarray(su)
+            from kmcex_tpu import native
+
+            base = np.uint64(first)
+            for i, (su, sc) in enumerate(rows):
+                kb = np.asarray(su)
                 kc = np.asarray(sc).astype(np.uint32)
-                real = (ku != np.uint64(0xFFFFFFFFFFFFFFFF)) & (kc >= ci)
-                yield ku[real], kc[real]
+                n_here = min(n_real - i * m, m)
+                ku = native.decode_deltas(kb, n_here, wbytes, int(base))
+                base = ku[-1]
+                keep = kc[:n_here] >= ci
+                yield ku[keep], kc[:n_here][keep]
 
         return total, hist, it()

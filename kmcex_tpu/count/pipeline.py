@@ -69,9 +69,8 @@ def count_fastq(
             packed, maskbits = pack_codes_np(codes)
             return jax.device_put((packed, maskbits))
 
-        for packed, maskbits in prefetch_iterator(
-            iter(stream), depth=3, transform=transform
-        ):
+        parsed = prefetch_iterator(iter(stream), depth=2)
+        for packed, maskbits in prefetch_iterator(parsed, depth=2, transform=transform):
             acc.add_batch_packed(packed, maskbits)
     else:
         acc = CountAccumulator(k)
@@ -122,7 +121,11 @@ def count_encode(
         packed, maskbits = pack_codes_np(codes)
         return jax.device_put((packed, maskbits))
 
-    for packed, maskbits in prefetch_iterator(iter(stream), depth=3, transform=transform):
+    # two producer stages: thread A parses/segments, thread B packs and
+    # copies to device; the main thread only dispatches — parse, pack, h2d
+    # and device compute all overlap
+    parsed = prefetch_iterator(iter(stream), depth=2)
+    for packed, maskbits in prefetch_iterator(parsed, depth=2, transform=transform):
         acc.add_batch_packed(packed, maskbits)
     total, low_hist, chunks = acc.finalize_stream(ci, cs)
     t_count = time.time() - t0

@@ -64,6 +64,14 @@ def _declare(L: ctypes.CDLL) -> None:
         u64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         u8p, u8p, ctypes.c_uint64, i32p, ctypes.c_int,
     ]
+    L.kx_merge_runs.restype = ctypes.c_int64
+    L.kx_merge_runs.argtypes = [
+        u64p, u32p, ctypes.c_int64, u64p, u32p, ctypes.c_int64, u64p, u32p,
+    ]
+    L.kx_decode_deltas.restype = None
+    L.kx_decode_deltas.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, u64p,
+    ]
     L.kx_segment_buffer.restype = ctypes.c_int64
     L.kx_segment_buffer.argtypes = [
         u8p, ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
@@ -166,6 +174,35 @@ def encode_bitarrays(
     )
     enc.feed(kmers, occs)
     return enc.finish()
+
+
+def merge_runs(ka: np.ndarray, ca: np.ndarray, kb: np.ndarray, cb: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two sorted (kmer, count) runs, summing duplicates (u32-saturating)."""
+    ka = np.ascontiguousarray(ka, dtype=np.uint64)
+    kb = np.ascontiguousarray(kb, dtype=np.uint64)
+    ca = np.ascontiguousarray(ca, dtype=np.uint32)
+    cb = np.ascontiguousarray(cb, dtype=np.uint32)
+    ko = np.zeros(len(ka) + len(kb), dtype=np.uint64)
+    co = np.zeros(len(ka) + len(kb), dtype=np.uint32)
+    n = lib().kx_merge_runs(
+        _ptr(ka, ctypes.c_uint64), _ptr(ca, ctypes.c_uint32), len(ka),
+        _ptr(kb, ctypes.c_uint64), _ptr(cb, ctypes.c_uint32), len(kb),
+        _ptr(ko, ctypes.c_uint64), _ptr(co, ctypes.c_uint32),
+    )
+    return ko[:n], co[:n]
+
+
+def decode_deltas(bytes_arr: np.ndarray, n: int, wbytes: int, base: int) -> np.ndarray:
+    """Decode ``n`` byte-aligned little-endian deltas (``wbytes`` each) into
+    absolute uint64 values starting from ``base`` (delta 0 is 0)."""
+    bytes_arr = np.ascontiguousarray(bytes_arr.reshape(-1), dtype=np.uint8)
+    out = np.zeros(n, dtype=np.uint64)
+    lib().kx_decode_deltas(
+        _ptr(bytes_arr, ctypes.c_uint8), n, wbytes, base,
+        _ptr(out, ctypes.c_uint64),
+    )
+    return out
 
 
 def segment_buffer(

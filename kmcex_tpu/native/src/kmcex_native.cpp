@@ -474,6 +474,51 @@ void kx_find_bitarray(const uint64_t* kmers, int64_t n, int k, int n_bits,
   }
 }
 
+// Two-pointer merge of sorted (kmer, count) runs, summing duplicates with
+// uint32 saturation (counts are cs-clamped far below 2^32 downstream).
+// Returns the merged length; out arrays need capacity na+nb.  Memory-speed
+// replacement for argsort-based host merges when device runs spill to host
+// (genome-scale tables exceed HBM).
+int64_t kx_merge_runs(const uint64_t* ka, const uint32_t* ca, int64_t na,
+                      const uint64_t* kb, const uint32_t* cb, int64_t nb,
+                      uint64_t* ko, uint32_t* co) {
+  int64_t i = 0, j = 0, o = 0;
+  while (i < na && j < nb) {
+    uint64_t x = ka[i], y = kb[j];
+    if (x < y) {
+      ko[o] = x; co[o++] = ca[i++];
+    } else if (y < x) {
+      ko[o] = y; co[o++] = cb[j++];
+    } else {
+      uint64_t s = (uint64_t)ca[i] + cb[j];
+      ko[o] = x; co[o++] = s > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)s;
+      i++; j++;
+    }
+  }
+  for (; i < na; i++) { ko[o] = ka[i]; co[o++] = ca[i]; }
+  for (; j < nb; j++) { ko[o] = kb[j]; co[o++] = cb[j]; }
+  return o;
+}
+
+// Decode a byte-aligned little-endian delta stream (device _delta_pack):
+// out[i] = base + sum of the first i+1 deltas, where delta 0 is 0 (the
+// first absolute k-mer travels separately).
+void kx_decode_deltas(const uint8_t* bytes, int64_t n, int wbytes,
+                      uint64_t base, uint64_t* out) {
+  if (n <= 0) return;
+  uint64_t acc = base;
+  const uint64_t mask = wbytes >= 8 ? ~0ULL : ((1ULL << (8 * wbytes)) - 1);
+  for (int64_t i = 0; i < n - 1; i++) {
+    uint64_t d;
+    memcpy(&d, bytes + i * wbytes, 8);  // little-endian; over-read masked
+    acc += d & mask;
+    out[i] = acc;
+  }
+  uint64_t d = 0;  // exact copy for the final entry (no buffer over-read)
+  memcpy(&d, bytes + (n - 1) * wbytes, wbytes);
+  out[n - 1] = acc + (d & mask);
+}
+
 // FASTQ/FASTA chunk segmenter: scan complete lines in buf, pick sequence
 // lines (FASTQ: every 4th starting at phase offset; FASTA: non-'>' lines),
 // translate ASCII -> 2-bit codes (255 for non-ACGT) and cut into segments of

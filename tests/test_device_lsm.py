@@ -104,3 +104,67 @@ def test_device_accumulator_ci_cs():
     acc.add_batch(codes)
     kmers, counts = acc.finalize(ci=3, cs=5)
     assert (counts >= 3).all() and (counts <= 5).all()
+
+
+def test_finalize_stream_matches_finalize():
+    rng = np.random.default_rng(8)
+    k = 17
+    a1 = DeviceCountAccumulator(k)
+    a2 = DeviceCountAccumulator(k)
+    for _ in range(4):
+        codes = rng.integers(0, 4, size=(64, 80)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.03] = 255
+        a1.add_batch(codes)
+        a2.add_batch(codes)
+    want_k, want_c = a1.finalize(ci=2, cs=5)
+    total, hist, chunks = a2.finalize_stream(ci=2, cs=5)
+    parts = list(chunks)
+    got_k = np.concatenate([p[0] for p in parts])
+    got_c = np.concatenate([p[1] for p in parts])
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+    assert total == len(want_k)
+    # hist counts counter==ci+i among >= ci entries
+    assert hist[0] == np.count_nonzero(want_c == 2)
+
+
+def test_finalize_stream_empty():
+    acc = DeviceCountAccumulator(17)
+    total, hist, chunks = acc.finalize_stream()
+    assert total == 0 and list(chunks) == []
+
+
+def test_spill_to_host_matches():
+    """Tiny spill threshold forces device runs through the host LSM level."""
+    rng = np.random.default_rng(9)
+    k = 17
+    a1 = DeviceCountAccumulator(k)
+    a2 = DeviceCountAccumulator(k, raw_tier_elems=2000, spill_threshold=4096)
+    for _ in range(6):
+        codes = rng.integers(0, 4, size=(32, 80)).astype(np.uint8)
+        a1.add_batch(codes)
+        a2.add_batch(codes)
+    assert a2.host_runs, "spill did not trigger"
+    k1, c1 = a1.finalize(ci=1, cs=1023)
+    k2, c2 = a2.finalize(ci=1, cs=1023)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_spill_finalize_stream_matches():
+    rng = np.random.default_rng(10)
+    k = 17
+    a1 = DeviceCountAccumulator(k)
+    a2 = DeviceCountAccumulator(k, raw_tier_elems=2000, spill_threshold=4096)
+    for _ in range(6):
+        codes = rng.integers(0, 4, size=(32, 80)).astype(np.uint8)
+        a1.add_batch(codes)
+        a2.add_batch(codes)
+    want_k, want_c = a1.finalize(ci=2, cs=9)
+    total, hist, chunks = a2.finalize_stream(ci=2, cs=9)
+    parts = list(chunks)
+    got_k = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.uint64)
+    got_c = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.uint32)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+    assert total == len(want_k)
