@@ -86,6 +86,12 @@ def main(argv: list[str] | None = None) -> int:
     rate = stats.reads / max(stats.count_seconds + stats.encode_seconds, 1e-9)
     print(f"   reads                              :     {stats.reads}")
     print(f"   count+encode reads/s               :     {rate:.0f}")
+    from kmcex_tpu.utils.timing import verbose
+
+    if verbose() and stats.phases:
+        print("   --- phase breakdown (KMCEX_VERBOSE) ---")
+        for name, secs in sorted(stats.phases.items(), key=lambda kv: -kv[1]):
+            print(f"   {name:<28s}       :     {secs:.3f}s")
     return 0
 
 

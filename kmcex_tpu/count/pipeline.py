@@ -29,6 +29,7 @@ class PipelineStats:
     distinct_kmers: int = 0
     count_seconds: float = 0.0
     encode_seconds: float = 0.0
+    phases: dict = dataclasses.field(default_factory=dict)
 
 
 def count_fastq(
@@ -103,44 +104,54 @@ def count_encode(
 
     Returns (model, kmers, counts, stats); kmers/counts are None unless
     ``keep_pairs`` (they cost host memory, not time)."""
+    from kmcex_tpu.utils.timing import Phases, device_trace
+
+    ph = Phases()
     t0 = time.time()
-    if seg_len is None:
-        sniffed = fastq.sniff_read_length(input_spec)
-        seg_len = min(512, max(k + 33, sniffed))
-    seg_len = (seg_len + 7) & ~7
-    stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
-    import jax
+    with device_trace("count_encode"):
+        with ph.phase("sniff_read_length"):
+            if seg_len is None:
+                sniffed = fastq.sniff_read_length(input_spec)
+                seg_len = min(512, max(k + 33, sniffed))
+            seg_len = (seg_len + 7) & ~7
+        stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
+        import jax
 
-    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
-    from kmcex_tpu.count.extract import pack_codes_np
-    from kmcex_tpu.utils import prefetch_iterator
+        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+        from kmcex_tpu.count.extract import pack_codes_np
+        from kmcex_tpu.utils import prefetch_iterator
 
-    acc = DeviceCountAccumulator(k)
+        acc = DeviceCountAccumulator(k)
 
-    def transform(codes):
-        packed, maskbits = pack_codes_np(codes)
-        return jax.device_put((packed, maskbits))
+        def transform(codes):
+            packed, maskbits = pack_codes_np(codes)
+            return jax.device_put((packed, maskbits))
 
-    # two producer stages: thread A parses/segments, thread B packs and
-    # copies to device; the main thread only dispatches — parse, pack, h2d
-    # and device compute all overlap
-    parsed = prefetch_iterator(iter(stream), depth=2)
-    for packed, maskbits in prefetch_iterator(parsed, depth=2, transform=transform):
-        acc.add_batch_packed(packed, maskbits)
-    total, low_hist, chunks = acc.finalize_stream(ci, cs)
-    t_count = time.time() - t0
+        # two producer stages: thread A parses/segments, thread B packs and
+        # copies to device; the main thread only dispatches — parse, pack,
+        # h2d and device compute all overlap
+        with ph.phase("stream+extract"):
+            parsed = prefetch_iterator(iter(stream), depth=2)
+            for packed, maskbits in prefetch_iterator(
+                parsed, depth=2, transform=transform
+            ):
+                acc.add_batch_packed(packed, maskbits)
+        with ph.phase("merge+stats"):
+            total, low_hist, chunks = acc.finalize_stream(ci, cs)
+        t_count = time.time() - t0
 
-    collected: list[tuple[np.ndarray, np.ndarray]] = []
+        collected: list[tuple[np.ndarray, np.ndarray]] = []
 
-    def tee():
-        for ku, kc in chunks:
-            if keep_pairs:
-                collected.append((ku, kc))
-            yield ku, kc
+        def tee():
+            for ku, kc in chunks:
+                if keep_pairs:
+                    collected.append((ku, kc))
+                yield ku, kc
 
-    km = get_model(ci, cs, num_hash, num_bit)
-    km.init_from_chunks(tee(), k, total, low_hist)
-    t_total = time.time() - t0
+        km = get_model(ci, cs, num_hash, num_bit)
+        with ph.phase("transfer+encode"):
+            km.init_from_chunks(tee(), k, total, low_hist)
+        t_total = time.time() - t0
     kmers = counts = None
     if keep_pairs:
         kmers = np.concatenate([x[0] for x in collected]) if collected else np.zeros(0, np.uint64)
@@ -152,6 +163,7 @@ def count_encode(
         distinct_kmers=total,
         count_seconds=t_count,
         encode_seconds=t_total - t_count,
+        phases=dict(ph.seconds),
     )
     return km, kmers, counts, stats
 
