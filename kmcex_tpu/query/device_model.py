@@ -265,7 +265,31 @@ class DeviceKModel:
 
         return query
 
-    def kmer_to_occ(self, kmers_u64) -> jnp.ndarray:
-        """Batched query; input packed uint64 (any shape), canonicalized on
-        device."""
-        return self._query(jnp.asarray(kmers_u64, dtype=_U64))
+    # Queries are processed in fixed-size tiles: the probe tensors scale as
+    # N x 8 neighbors x n_bits x n_hash, so an unbounded batch blows HBM at
+    # compile time (a 1M-query batch wants ~32GB).  One tile shape = one
+    # compiled program; throughput saturates well below 2^15.
+    TILE = 1 << 15
+
+    def kmer_to_occ(self, kmers_u64, tile: int | None = None) -> np.ndarray:
+        """Batched query; input packed uint64, canonicalized on device.
+        Arbitrarily large batches are processed in TILE-sized device calls."""
+        qa = np.asarray(kmers_u64, dtype=np.uint64)
+        q = qa.reshape(-1)
+        tile = tile or self.TILE
+        n = len(q)
+        if n == 0:
+            return np.zeros(qa.shape, dtype=np.int32)
+        if n <= tile:
+            # pow2 pad: small batches stay small, shape count stays bounded
+            t = 1 << max(0, (n - 1).bit_length())
+            qt = np.pad(q, (0, t - n)) if t != n else q
+            out = np.asarray(self._query(jnp.asarray(qt, dtype=_U64)))[:n]
+            return out.reshape(qa.shape)
+        outs = []
+        for a in range(0, n, tile):
+            chunk = q[a : a + tile]
+            if len(chunk) < tile:
+                chunk = np.pad(chunk, (0, tile - len(chunk)))
+            outs.append(self._query(jnp.asarray(chunk, dtype=_U64)))
+        return np.concatenate([np.asarray(o) for o in outs])[:n].reshape(qa.shape)
