@@ -125,6 +125,31 @@ def main() -> None:
         f"{t_total - t_count:.2f}s -> {reads_per_s:,.0f} reads/s"
     )
 
+    # Secondary metrics (stderr only; the driver records the one JSON line):
+    # query throughput on host (native) and device paths.
+    if os.environ.get("KMCEX_BENCH_QUERY", "1") != "0":
+        try:
+            rng = np.random.default_rng(0)
+            nq = 1_000_000
+            q = np.concatenate([
+                rng.choice(kmers, nq // 2),
+                rng.integers(0, 1 << 62, nq // 2, dtype=np.uint64),
+            ])
+            rng.shuffle(q)
+            km.kmer_to_occ_u64(q[:1000])  # warm
+            t0 = time.time()
+            km.kmer_to_occ_u64(q)
+            log(f"host kmer_to_occ: {nq / (time.time() - t0) / 1e6:.2f} Mqueries/s")
+            from kmcex_tpu.query.device_model import DeviceKModel
+
+            dm = DeviceKModel(km)
+            dm.kmer_to_occ(q[: dm.TILE])  # compile
+            t0 = time.time()
+            dm.kmer_to_occ(q)
+            log(f"device kmer_to_occ: {nq / (time.time() - t0) / 1e6:.2f} Mqueries/s")
+        except Exception as e:
+            log(f"query benchmark skipped: {e}")
+
     vs_baseline = 0.0
     harness = build_ref_harness()
     if harness:

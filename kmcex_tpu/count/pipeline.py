@@ -173,6 +173,10 @@ def run(params: KParams, save_dir: str | None = None,
     """Full kmcEx-equivalent run: count, (optionally) write the KMC1 DB to
     ``output_file_name``, build + save the model under
     ``working_directory/<basename>`` (main.cpp:143-149)."""
+    if params.t:
+        from kmcex_tpu import native
+
+        native.set_num_threads(params.t)
     km, kmers, counts, stats = count_encode(
         params.input_file_name, params.k, params.ci, params.cs,
         params.num_hash, params.num_bit,

@@ -83,7 +83,18 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+_n_threads_override = 0
+
+
+def set_num_threads(n: int) -> None:
+    """Global host-thread count (the CLI's -t, main.cpp:77); 0 = all cores."""
+    global _n_threads_override
+    _n_threads_override = max(0, int(n))
+
+
 def n_threads_default() -> int:
+    if _n_threads_override:
+        return _n_threads_override
     return max(1, os.cpu_count() or 1)
 
 
