@@ -114,3 +114,61 @@ def murmur64_jnp(ascii_bytes: jnp.ndarray, seed) -> jnp.ndarray:
     """Batched device murmur (jit-safe). ascii_bytes [..., len] uint8."""
     n = ascii_bytes.shape[-1]
     return _mix_words(ascii_bytes, n, jnp.asarray(seed, dtype=jnp.uint64), jnp)
+
+
+def murmur_pre_jnp(ascii_bytes: jnp.ndarray):
+    """Seed-independent half of murmur64: per-8-byte-block mixes + assembled
+    tail.  The block mix (k*=m; k^=k>>r; k*=m) never sees the seed, so for
+    S seed evaluations of the same string (nh probes x n_bits arrays on the
+    query path) it runs once instead of S times — a large saving on TPU
+    where uint64 lanes are emulated.
+
+    ascii_bytes [..., n] uint8 -> (blocks [..., nfull] u64, tail [...] u64).
+    """
+    u = jnp.uint64
+    m = u(_M)
+    r = u(_R)
+    n = ascii_bytes.shape[-1]
+    b = ascii_bytes.astype(jnp.uint64)
+    blocks = []
+    for w in range(n // 8):
+        k = u(0)
+        for j in range(8):
+            k = k | (b[..., 8 * w + j] << u(8 * j))
+        k = k * m
+        k = k ^ (k >> r)
+        k = k * m
+        blocks.append(k)
+    blocks_arr = (
+        jnp.stack(blocks, axis=-1)
+        if blocks
+        else jnp.zeros(ascii_bytes.shape[:-1] + (0,), dtype=jnp.uint64)
+    )
+    ntail = n & 7
+    t = u(0)
+    if ntail:
+        t = jnp.zeros(ascii_bytes.shape[:-1], dtype=jnp.uint64)
+        for j in range(ntail):
+            t = t | (b[..., 8 * (n // 8) + j] << u(8 * j))
+    else:
+        t = jnp.zeros(ascii_bytes.shape[:-1], dtype=jnp.uint64)
+    return blocks_arr, t
+
+
+def murmur_eval_jnp(blocks: jnp.ndarray, tail: jnp.ndarray, n: int, seeds) -> jnp.ndarray:
+    """Fold precomputed blocks under each seed: blocks [..., nfull], tail
+    [...], seeds [S] -> hashes [..., S] (bit-identical to murmur64_jnp)."""
+    u = jnp.uint64
+    m = u(_M)
+    r = u(_R)
+    s = jnp.asarray(seeds, dtype=jnp.uint64)
+    h = s ^ (u(n) * m)  # [S]
+    h = jnp.broadcast_to(h, blocks.shape[:-1] + s.shape)
+    for w in range(blocks.shape[-1]):
+        h = (h ^ blocks[..., w][..., None]) * m
+    if n & 7:
+        h = (h ^ tail[..., None]) * m
+    h = h ^ (h >> r)
+    h = h * m
+    h = h ^ (h >> r)
+    return h

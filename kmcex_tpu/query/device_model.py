@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from kmcex_tpu.core import codec
-from kmcex_tpu.core.murmur import HASH_SEEDS, murmur64_jnp
+from kmcex_tpu.core.murmur import (
+    HASH_SEEDS,
+    murmur_eval_jnp,
+    murmur_pre_jnp,
+)
 from kmcex_tpu.model.kmodel import KModel
 
 _U64 = jnp.uint64
@@ -74,6 +78,7 @@ class DeviceKModel:
         self.km_back = put(km.km_back) if km.byte_km_back else None
         self.bit_km_back = int(km.bit_km_back)
         self.seeds = put(_seed_matrix(self.n_bits, self.n_hash).astype(np.uint64))
+        self._seed_flat = _seed_matrix(self.n_bits, self.n_hash).astype(np.uint64).reshape(-1)
 
         # rest store (sorted full k-mers + CSR bounds)
         kld = km.kld
@@ -91,13 +96,18 @@ class DeviceKModel:
         self.bin2mean = put(km.occu_bin.bin2mean_lut.astype(np.int32))
         self.occ2bin = put(km.occu_bin.occ2bin_lut.astype(np.int32))
 
-        self._query = jax.jit(self._build_query())
+        self._main = jax.jit(self._build_main())
+        self._resolve = jax.jit(self._build_resolve())
 
     # -- probe primitives ---------------------------------------------------
+    # All murmur evaluations share the seed-independent block mixes of each
+    # ASCII string (murmur_pre_jnp) — on TPU uint64 is emulated, so not
+    # re-mixing blocks per seed is a ~3x cut in the query's dominant cost.
     def _murmur_positions(self, kmers, klen, seeds, bit_len):
         """[..., n_seeds] probe positions for the ASCII form of kmers."""
         ascii_b = codec.ascii_bytes_jnp(kmers, klen)  # [..., klen]
-        h = murmur64_jnp(ascii_b[..., None, :], jnp.asarray(seeds, dtype=_U64))
+        bl, tl = murmur_pre_jnp(ascii_b)
+        h = murmur_eval_jnp(bl, tl, klen, np.asarray(seeds, dtype=np.uint64))
         return h % _U64(bit_len)
 
     def _check_bloom(self, kmers, klen, bits, bit_len, n_hash, seeds):
@@ -138,9 +148,11 @@ class DeviceKModel:
     def _find_bitarray(self, kmers):
         """[..., n_bits] decoded bins, -1 where tags miss (kmodel.hpp:625-646)."""
         ascii_b = codec.ascii_bytes_jnp(kmers, self.k)  # [..., k]
-        # [..., nb, nh] positions
-        h = murmur64_jnp(ascii_b[..., None, None, :], self.seeds)
-        pos = h % _U64(self.km_bit_size)
+        bl, tl = murmur_pre_jnp(ascii_b)
+        h = murmur_eval_jnp(bl, tl, self.k, self._seed_flat)  # [..., nb*nh]
+        pos = (h % _U64(self.km_bit_size)).reshape(
+            kmers.shape + (self.n_bits, self.n_hash)
+        )
         byte = (pos >> _U64(3)).astype(jnp.int64)
         shift = (jnp.uint8(7) - (pos & _U64(7)).astype(jnp.uint8))
         nb_idx = jnp.arange(self.n_bits)[:, None]
@@ -207,8 +219,19 @@ class DeviceKModel:
         valid = rest_hit | bf_hit | one_hit
         return vals.astype(jnp.int32), valid
 
-    def _build_query(self):
-        def query(kmers: jnp.ndarray) -> jnp.ndarray:
+    def _decode_bin(self, bin_val):
+        """OccuBin bin -> approximate count (identity below bin_end_index1)."""
+        mean = self.bin2mean[jnp.clip(bin_val, 0, self.bin2mean.shape[0] - 1)]
+        return jnp.where(bin_val < self.bin_end_index1, bin_val, mean)
+
+    def _build_main(self):
+        """Phase 1 (runs for every query): everything except the 8-neighbor
+        disambiguation.  Returns the final answer where it is determined plus
+        the inputs phase 2 needs for the (rare) ambiguous queries — on TPU
+        masked lanes still pay full cost, so the 9x-heavier candidate pass
+        must not run for the whole batch."""
+
+        def main(kmers: jnp.ndarray):
             kmers = codec.canonical_jnp(kmers.astype(_U64), self.k)
             rest_occ = self._check_rest(kmers)
             is_back = self._check_back(kmers)
@@ -222,13 +245,47 @@ class DeviceKModel:
                 nbin > 0, jnp.take_along_axis(B, first_idx[..., None], -1)[..., 0], 0
             )
 
+            # kmer_to_bin without candidates (kmodel.hpp:286-302):
+            # len==0 -> occ; len==1 & occ==0 -> first_bin; rest = ambiguous.
+            bin_val = jnp.where(nbin == 0, bf_occ, first_bin)
+            bit_path = self._decode_bin(bin_val)
+
+            out = jnp.where(
+                rest_occ != 0,
+                rest_occ,
+                jnp.where(
+                    ~is_back,
+                    jnp.where(bf_occ != 0, bf_occ, 0),
+                    bit_path,
+                ),
+            ).astype(jnp.int32)
+            ambiguous = (
+                (rest_occ == 0)
+                & is_back
+                & (((nbin == 1) & (bf_occ != 0)) | (nbin >= 2))
+            )
+            return out, ambiguous, kmers, B, bf_occ
+
+        return main
+
+    RESOLVE_TILE = 4096
+
+    def _build_resolve(self):
+        """Phase 2 (ambiguous queries only): neighbor candidates + the
+        reference's majority/nearest-bin rules (kmodel.hpp:292-322)."""
+
+        def resolve(kmers, B, bf_occ):
+            pos_mask = B > 0
+            nbin = jnp.sum(pos_mask, axis=-1)
+            first_idx = jnp.argmax(pos_mask, axis=-1)
+            first_bin = jnp.where(
+                nbin > 0, jnp.take_along_axis(B, first_idx[..., None], -1)[..., 0], 0
+            )
             cand_vals, cand_valid = self._neighbor_candidates(kmers)
             n_cand = jnp.sum(cand_valid, axis=-1)
             cnt_bf = jnp.sum(
                 cand_valid & (cand_vals < self.ci + self.bf_num), axis=-1
             )
-
-            # kmer_to_bin (kmodel.hpp:286-323)
             take_occ1 = (nbin == 1) & (bf_occ != 0) & (cnt_bf >= n_cand // 2)
             big = jnp.int32(1 << 21)
             dist = jnp.abs(B[..., :, None] - cand_vals[..., None, :])
@@ -239,31 +296,12 @@ class DeviceKModel:
                 B, jnp.argmin(cur_min, axis=-1)[..., None], -1
             )[..., 0]
             best_multi = jnp.where(n_cand > 0, best_multi, 0)
-
             bin_val = jnp.where(
-                nbin == 0,
-                bf_occ,
-                jnp.where(
-                    nbin == 1,
-                    jnp.where(take_occ1, bf_occ, first_bin),
-                    best_multi,
-                ),
+                nbin == 1, jnp.where(take_occ1, bf_occ, first_bin), best_multi
             )
-            mean = self.bin2mean[jnp.clip(bin_val, 0, self.bin2mean.shape[0] - 1)]
-            bit_path = jnp.where(bin_val < self.bin_end_index1, bin_val, mean)
+            return self._decode_bin(bin_val).astype(jnp.int32)
 
-            out = jnp.where(
-                rest_occ != 0,
-                rest_occ,
-                jnp.where(
-                    ~is_back,
-                    jnp.where(bf_occ != 0, bf_occ, 0),
-                    bit_path,
-                ),
-            )
-            return out.astype(jnp.int32)
-
-        return query
+        return resolve
 
     # Queries are processed in fixed-size tiles: the probe tensors scale as
     # N x 8 neighbors x n_bits x n_hash, so an unbounded batch blows HBM at
@@ -273,23 +311,59 @@ class DeviceKModel:
 
     def kmer_to_occ(self, kmers_u64, tile: int | None = None) -> np.ndarray:
         """Batched query; input packed uint64, canonicalized on device.
-        Arbitrarily large batches are processed in TILE-sized device calls."""
+
+        Arbitrarily large batches run in TILE-sized phase-1 device calls;
+        the ambiguous survivors (typically ~1%) are compacted on host and
+        resolved in RESOLVE_TILE-sized phase-2 calls."""
         qa = np.asarray(kmers_u64, dtype=np.uint64)
         q = qa.reshape(-1)
         tile = tile or self.TILE
         n = len(q)
         if n == 0:
             return np.zeros(qa.shape, dtype=np.int32)
-        if n <= tile:
-            # pow2 pad: small batches stay small, shape count stays bounded
-            t = 1 << max(0, (n - 1).bit_length())
-            qt = np.pad(q, (0, t - n)) if t != n else q
-            out = np.asarray(self._query(jnp.asarray(qt, dtype=_U64)))[:n]
-            return out.reshape(qa.shape)
-        outs = []
+
+        out = np.zeros(n, dtype=np.int32)
+        amb_idx: list[np.ndarray] = []
+        amb_k: list[np.ndarray] = []
+        amb_B: list[np.ndarray] = []
+        amb_occ: list[np.ndarray] = []
+        pending = []  # keep device results async until all tiles dispatched
         for a in range(0, n, tile):
             chunk = q[a : a + tile]
-            if len(chunk) < tile:
-                chunk = np.pad(chunk, (0, tile - len(chunk)))
-            outs.append(self._query(jnp.asarray(chunk, dtype=_U64)))
-        return np.concatenate([np.asarray(o) for o in outs])[:n].reshape(qa.shape)
+            nc = len(chunk)
+            t = min(tile, 1 << max(0, (nc - 1).bit_length()))
+            if nc < t:
+                chunk = np.pad(chunk, (0, t - nc))
+            pending.append((a, nc, self._main(jnp.asarray(chunk, dtype=_U64))))
+        for a, nc, (o, amb, kk, B, occ) in pending:
+            o = np.asarray(o)[:nc]
+            amb_np = np.asarray(amb)[:nc]
+            out[a : a + nc] = o
+            ai = np.flatnonzero(amb_np)
+            if len(ai):
+                amb_idx.append(ai + a)
+                amb_k.append(np.asarray(kk)[:nc][ai])
+                amb_B.append(np.asarray(B)[:nc][ai])
+                amb_occ.append(np.asarray(occ)[:nc][ai])
+        if amb_idx:
+            idx = np.concatenate(amb_idx)
+            ks = np.concatenate(amb_k)
+            Bs = np.concatenate(amb_B)
+            occs = np.concatenate(amb_occ)
+            rt = self.RESOLVE_TILE
+            res = []
+            for a in range(0, len(idx), rt):
+                ke = ks[a : a + rt]
+                Be = Bs[a : a + rt]
+                oe = occs[a : a + rt]
+                nc = len(ke)
+                t = min(rt, 1 << max(0, (nc - 1).bit_length()))
+                if nc < t:
+                    ke = np.pad(ke, (0, t - nc))
+                    Be = np.pad(Be, ((0, t - nc), (0, 0)))
+                    oe = np.pad(oe, (0, t - nc))
+                res.append(np.asarray(self._resolve(
+                    jnp.asarray(ke, dtype=_U64), jnp.asarray(Be), jnp.asarray(oe)
+                ))[:nc])
+            out[idx] = np.concatenate(res)
+        return out.reshape(qa.shape)
