@@ -52,9 +52,8 @@ def count_fastq(
         sniffed = fastq.sniff_read_length(input_spec)
         seg_len = min(512, max(k + 33, sniffed))
     seg_len = (seg_len + 7) & ~7  # packed path needs L % 8 == 0
-    stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
-    # The producer thread overlaps host parsing, 2-bit packing, AND the h2d
-    # copy (the relay link on this rig is ~33MB/s; packed codes are 4x
+    # The producer threads overlap parsing+packing (one native pass) and the
+    # h2d copy (the relay link on this rig is ~33MB/s; packed codes are 4x
     # smaller) with device dispatch.
     from kmcex_tpu.utils import prefetch_iterator
 
@@ -62,18 +61,16 @@ def count_fastq(
         import jax
 
         from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
-        from kmcex_tpu.count.extract import pack_codes_np
 
+        stream = fastq.SegmentStream(input_spec, k, seg_len, batch_segs, packed=True)
         acc = DeviceCountAccumulator(k)
-
-        def transform(codes):
-            packed, maskbits = pack_codes_np(codes)
-            return jax.device_put((packed, maskbits))
-
         parsed = prefetch_iterator(iter(stream), depth=2)
-        for packed, maskbits in prefetch_iterator(parsed, depth=2, transform=transform):
+        for packed, maskbits in prefetch_iterator(
+            parsed, depth=2, transform=jax.device_put
+        ):
             acc.add_batch_packed(packed, maskbits)
     else:
+        stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
         acc = CountAccumulator(k)
         for codes in prefetch_iterator(iter(stream), depth=3):
             acc.add_batch(codes)
@@ -114,26 +111,21 @@ def count_encode(
                 sniffed = fastq.sniff_read_length(input_spec)
                 seg_len = min(512, max(k + 33, sniffed))
             seg_len = (seg_len + 7) & ~7
-        stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)
+        stream = fastq.SegmentStream(input_spec, k, seg_len, batch_segs, packed=True)
         import jax
 
         from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
-        from kmcex_tpu.count.extract import pack_codes_np
         from kmcex_tpu.utils import prefetch_iterator
 
         acc = DeviceCountAccumulator(k)
 
-        def transform(codes):
-            packed, maskbits = pack_codes_np(codes)
-            return jax.device_put((packed, maskbits))
-
-        # two producer stages: thread A parses/segments, thread B packs and
-        # copies to device; the main thread only dispatches — parse, pack,
-        # h2d and device compute all overlap
+        # two producer stages: thread A parses + 2-bit packs (one native
+        # pass), thread B copies to device; the main thread only dispatches —
+        # parse, h2d and device compute all overlap
         with ph.phase("stream+extract"):
             parsed = prefetch_iterator(iter(stream), depth=2)
             for packed, maskbits in prefetch_iterator(
-                parsed, depth=2, transform=transform
+                parsed, depth=2, transform=jax.device_put
             ):
                 acc.add_batch_packed(packed, maskbits)
         with ph.phase("merge+stats"):

@@ -125,19 +125,28 @@ def _segment_spans(
 class SegmentStream:
     """Iterates [batch_segs, seg_len] uint8 code batches over input files,
     tracking read/base statistics.  Uses the native C++ segmenter (single
-    pass, writes straight into the yield buffer) with a NumPy fallback."""
+    pass, writes straight into the yield buffer) with a NumPy fallback.
+
+    With ``packed=True`` (requires seg_len % 8 == 0) batches are
+    (packed [batch_segs, seg_len/4], maskbits [batch_segs, seg_len/8])
+    tuples in the device transfer format — the native segmenter emits them
+    directly from ASCII, so no separate packing pass touches the data."""
 
     def __init__(self, input_spec: str, k: int, seg_len: int = DEFAULT_SEG_LEN,
-                 batch_segs: int = DEFAULT_BATCH_SEGS, use_native: bool = True):
+                 batch_segs: int = DEFAULT_BATCH_SEGS, use_native: bool = True,
+                 packed: bool = False):
         self.input_spec = input_spec
         self.k = k
         self.seg_len = seg_len
         self.batch_segs = batch_segs
         self.use_native = use_native
+        self.packed = packed
+        if packed:
+            assert seg_len % 8 == 0, "packed mode needs seg_len % 8 == 0"
         self.reads = 0
         self.bases = 0
 
-    def __iter__(self) -> Iterator[np.ndarray]:
+    def __iter__(self) -> Iterator:
         if self.use_native:
             try:
                 from kmcex_tpu import native
@@ -147,10 +156,34 @@ class SegmentStream:
                 return
             except Exception:
                 pass
-        yield from self._iter_numpy()
+        if self.packed:
+            from kmcex_tpu.count.extract import pack_codes_np
 
-    def _iter_native(self, native) -> Iterator[np.ndarray]:
-        buf = np.full((self.batch_segs, self.seg_len), 255, dtype=np.uint8)
+            for codes in self._iter_numpy():
+                yield pack_codes_np(codes)
+        else:
+            yield from self._iter_numpy()
+
+    def _new_buf(self):
+        if self.packed:
+            return (
+                np.zeros((self.batch_segs, self.seg_len // 4), dtype=np.uint8),
+                np.zeros((self.batch_segs, self.seg_len // 8), dtype=np.uint8),
+            )
+        return np.full((self.batch_segs, self.seg_len), 255, dtype=np.uint8)
+
+    def _segment(self, native, arr, is_fasta, phase, buf, row):
+        if self.packed:
+            return native.segment_buffer_packed(
+                arr, is_fasta, phase, self.k, self.seg_len,
+                buf[0][row:], buf[1][row:],
+            )
+        return native.segment_buffer(
+            arr, is_fasta, phase, self.k, self.seg_len, buf[row:]
+        )
+
+    def _iter_native(self, native) -> Iterator:
+        buf = self._new_buf()
         row = 0
         for path in resolve_inputs(self.input_spec):
             with _open_maybe_gzip(path) as f:
@@ -172,9 +205,8 @@ class SegmentStream:
                     arr = np.frombuffer(data, dtype=np.uint8)
                     off = 0
                     while off < len(arr):
-                        rows, consumed, nr, nb, phase = native.segment_buffer(
-                            arr[off:], is_fasta, phase, self.k, self.seg_len,
-                            buf[row:],
+                        rows, consumed, nr, nb, phase = self._segment(
+                            native, arr[off:], is_fasta, phase, buf, row
                         )
                         row += rows
                         self.reads += nr
@@ -193,9 +225,7 @@ class SegmentStream:
                             # buffer full (exactly, or the next read needs
                             # more rows than remain): flush and keep going
                             yield buf
-                            buf = np.full(
-                                (self.batch_segs, self.seg_len), 255, dtype=np.uint8
-                            )
+                            buf = self._new_buf()
                             row = 0
                     carry = data[off:] if off < len(data) else b""
         if row:

@@ -77,6 +77,11 @@ def _declare(L: ctypes.CDLL) -> None:
         u8p, ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int64, i64p, i64p, i64p,
     ]
+    L.kx_segment_buffer_packed.restype = ctypes.c_int64
+    L.kx_segment_buffer_packed.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, u8p, u8p, ctypes.c_int64, i64p, i64p, i64p,
+    ]
 
 
 def _ptr(arr: np.ndarray, ctype):
@@ -232,6 +237,30 @@ def segment_buffer(
         _ptr(data, ctypes.c_uint8), len(data), int(is_fasta),
         ctypes.byref(ph), k, seg_len,
         _ptr(out_rows, ctypes.c_uint8), out_rows.shape[0],
+        _ptr(consumed, ctypes.c_int64), _ptr(n_reads, ctypes.c_int64),
+        _ptr(n_bases, ctypes.c_int64),
+    )
+    return int(rows), int(consumed[0]), int(n_reads[0]), int(n_bases[0]), ph.value
+
+
+def segment_buffer_packed(
+    data: np.ndarray, is_fasta: bool, phase: int, k: int, seg_len: int,
+    out_packed: np.ndarray, out_mask: np.ndarray,
+) -> tuple[int, int, int, int, int]:
+    """Packed segmenter: out_packed [cap, seg_len/4] 2-bit codes, out_mask
+    [cap, seg_len/8] validity bits — the device transfer format, written
+    directly from ASCII.  Returns (rows, consumed, reads, bases, phase)."""
+    assert out_packed.dtype == np.uint8 and out_packed.flags.c_contiguous
+    assert out_mask.dtype == np.uint8 and out_mask.flags.c_contiguous
+    ph = ctypes.c_int(phase)
+    consumed = np.zeros(1, dtype=np.int64)
+    n_reads = np.zeros(1, dtype=np.int64)
+    n_bases = np.zeros(1, dtype=np.int64)
+    rows = lib().kx_segment_buffer_packed(
+        _ptr(data, ctypes.c_uint8), len(data), int(is_fasta),
+        ctypes.byref(ph), k, seg_len,
+        _ptr(out_packed, ctypes.c_uint8), _ptr(out_mask, ctypes.c_uint8),
+        out_packed.shape[0],
         _ptr(consumed, ctypes.c_int64), _ptr(n_reads, ctypes.c_int64),
         _ptr(n_bases, ctypes.c_int64),
     )

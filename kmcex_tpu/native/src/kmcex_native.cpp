@@ -519,18 +519,10 @@ void kx_decode_deltas(const uint8_t* bytes, int64_t n, int wbytes,
   out[n - 1] = acc + (d & mask);
 }
 
-// FASTQ/FASTA chunk segmenter: scan complete lines in buf, pick sequence
-// lines (FASTQ: every 4th starting at phase offset; FASTA: non-'>' lines),
-// translate ASCII -> 2-bit codes (255 for non-ACGT) and cut into segments of
-// seg_len overlapping by k-1 into `out` [out_cap_rows, seg_len] (rows padded
-// with 255).  Resumable: stops at line granularity when out is full.
-//   fastq_phase: in/out, line index mod 4 across chunks.
-//   consumed: out, bytes of buf processed (always ends on a line boundary).
-// Returns rows written.
-int64_t kx_segment_buffer(const uint8_t* buf, int64_t len, int is_fasta,
-                          int* fastq_phase, int k, int seg_len, uint8_t* out,
-                          int64_t out_cap_rows, int64_t* consumed,
-                          int64_t* n_reads, int64_t* n_bases) {
+extern "C++" {  // the templated segmenter core has C++ linkage
+namespace {
+
+inline const uint8_t* base_lut() {
   static uint8_t lut[256];
   static bool lut_init = false;
   if (!lut_init) {
@@ -541,7 +533,22 @@ int64_t kx_segment_buffer(const uint8_t* buf, int64_t len, int is_fasta,
     lut['T'] = lut['t'] = 3;
     lut_init = true;
   }
+  return lut;
+}
+
+// Shared segmenter core.  Packed=false writes [rows, seg_len] byte codes
+// (255 = invalid); packed=true writes [rows, seg_len/4] 2-bit codes
+// (little-endian within byte) + [rows, seg_len/8] validity bits — the
+// device-transfer format (count/extract.extract_canonical_packed), emitted
+// directly from ASCII in one pass.
+template <bool kPacked>
+int64_t segment_core(const uint8_t* buf, int64_t len, int is_fasta,
+                     int* fastq_phase, int k, int seg_len, uint8_t* out,
+                     uint8_t* out_mask, int64_t out_cap_rows,
+                     int64_t* consumed, int64_t* n_reads, int64_t* n_bases) {
+  const uint8_t* lut = base_lut();
   const int64_t stride = seg_len - (k - 1);
+  const int64_t pbytes = seg_len >> 2, mbytes = seg_len >> 3;
   int64_t rows = 0, reads = 0, bases = 0;
   int64_t pos = 0;
   int phase = *fastq_phase;
@@ -569,9 +576,23 @@ int64_t kx_segment_buffer(const uint8_t* buf, int64_t len, int is_fasta,
       const uint8_t* src = buf + start + s * stride;
       int64_t avail = L - s * stride;
       int64_t m = avail < seg_len ? avail : seg_len;
-      uint8_t* dst = out + (rows + s) * seg_len;
-      for (int64_t j = 0; j < m; j++) dst[j] = lut[src[j]];
-      if (m < seg_len) memset(dst + m, 255, seg_len - m);
+      if (kPacked) {
+        uint8_t* dp = out + (rows + s) * pbytes;
+        uint8_t* dm = out_mask + (rows + s) * mbytes;
+        memset(dp, 0, pbytes);
+        memset(dm, 0, mbytes);
+        for (int64_t j = 0; j < m; j++) {
+          uint8_t c = lut[src[j]];
+          if (c < 4) {
+            dp[j >> 2] |= (uint8_t)(c << (2 * (j & 3)));
+            dm[j >> 3] |= (uint8_t)(1u << (j & 7));
+          }
+        }
+      } else {
+        uint8_t* dst = out + (rows + s) * seg_len;
+        for (int64_t j = 0; j < m; j++) dst[j] = lut[src[j]];
+        if (m < seg_len) memset(dst + m, 255, seg_len - m);
+      }
     }
     rows += nseg;
   }
@@ -580,6 +601,38 @@ int64_t kx_segment_buffer(const uint8_t* buf, int64_t len, int is_fasta,
   *n_reads = reads;
   *n_bases = bases;
   return rows;
+}
+
+}  // namespace
+}  // extern "C++"
+
+// FASTQ/FASTA chunk segmenter: scan complete lines in buf, pick sequence
+// lines (FASTQ: every 4th starting at phase offset; FASTA: non-'>' lines),
+// translate ASCII -> 2-bit codes (255 for non-ACGT) and cut into segments of
+// seg_len overlapping by k-1 into `out` [out_cap_rows, seg_len] (rows padded
+// with 255).  Resumable: stops at line granularity when out is full.
+//   fastq_phase: in/out, line index mod 4 across chunks.
+//   consumed: out, bytes of buf processed (always ends on a line boundary).
+// Returns rows written.
+int64_t kx_segment_buffer(const uint8_t* buf, int64_t len, int is_fasta,
+                          int* fastq_phase, int k, int seg_len, uint8_t* out,
+                          int64_t out_cap_rows, int64_t* consumed,
+                          int64_t* n_reads, int64_t* n_bases) {
+  return segment_core<false>(buf, len, is_fasta, fastq_phase, k, seg_len,
+                             out, nullptr, out_cap_rows, consumed, n_reads,
+                             n_bases);
+}
+
+// Packed variant: seg_len must be a multiple of 8.
+int64_t kx_segment_buffer_packed(const uint8_t* buf, int64_t len,
+                                 int is_fasta, int* fastq_phase, int k,
+                                 int seg_len, uint8_t* out_packed,
+                                 uint8_t* out_mask, int64_t out_cap_rows,
+                                 int64_t* consumed, int64_t* n_reads,
+                                 int64_t* n_bases) {
+  return segment_core<true>(buf, len, is_fasta, fastq_phase, k, seg_len,
+                            out_packed, out_mask, out_cap_rows, consumed,
+                            n_reads, n_bases);
 }
 
 }  // extern "C"

@@ -131,3 +131,31 @@ def test_accumulator_merging():
     u, c = np.unique(vals, return_counts=True)
     np.testing.assert_array_equal(kmers, u)
     np.testing.assert_array_equal(counts, c.astype(np.uint32))
+
+
+def test_native_packed_stream_matches(tmp_path):
+    """Native packed segmenter output == byte segmenter + host pack."""
+    import numpy as np
+
+    from kmcex_tpu.count.extract import pack_codes_np
+    from kmcex_tpu.io import fastq
+
+    rng = np.random.default_rng(21)
+    bases = np.frombuffer(b"ACGTN", dtype=np.uint8)
+    fq = tmp_path / "r.fastq"
+    with open(fq, "wb") as f:
+        for i in range(300):
+            L = int(rng.integers(20, 90))
+            seq = bases[rng.integers(0, 5, L)].tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * L))
+    k, seg_len, bs = 17, 48, 64
+    s1 = fastq.SegmentStream(str(fq), k, seg_len, bs)
+    s2 = fastq.SegmentStream(str(fq), k, seg_len, bs, packed=True)
+    b1 = list(s1)
+    b2 = list(s2)
+    assert len(b1) == len(b2)
+    assert (s1.reads, s1.bases) == (s2.reads, s2.bases)
+    for codes, (packed, mask) in zip(b1, b2):
+        wp, wm = pack_codes_np(codes)
+        np.testing.assert_array_equal(packed, wp)
+        np.testing.assert_array_equal(mask, wm)
