@@ -184,23 +184,59 @@ uint64_t kx_murmur64(const uint8_t* data, int len, uint32_t seed) {
 // substr_mode: 0 = hash the full k-mer string; 1 = hash the middle (k-2)-mer
 // kmer[1:k-1] (the "back" filters; kmodel.hpp:386-390,475).
 // Seeds are always kHashSeeds[0..num_hash).
+// The Bloom/bit-array loops are memory-latency bound, not hash bound: each
+// probe is a random byte in a multi-MB table (DRAM-latency class), while the
+// murmur folds run at >200M evals/s.  All batched entry points therefore
+// run a two-phase block pipeline: phase 1 computes every probe position for
+// a small block and issues prefetches; phase 2 touches the (now in-flight)
+// lines.  Positions depend only on the k-mer, never on table contents, so
+// the split is semantics-free.
+constexpr int64_t kBlk = 16;
+
 void kx_insert_bloom(const uint64_t* kmers, int64_t n, int k, uint8_t* bf,
                      uint64_t bf_bitlen, int num_hash, int substr_mode,
                      int n_threads) {
   if (bf_bitlen == 0 || n == 0) return;
   const int klen = substr_mode ? k - 2 : k;
+  if (num_hash > 32) {  // beyond the block buffers: direct path
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(n_threads) schedule(static)
 #endif
-  for (int64_t i = 0; i < n; i++) {
-    char buf[64];
-    uint64_t v = kmers[i];
-    if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
-    to_ascii(v, klen, buf);
-    MurmurPre pre;
-    murmur_pre(buf, klen, pre);
-    for (int j = 0; j < num_hash; j++) {
-      set_bit(bf, murmur_eval(pre, kHashSeeds[j]) % bf_bitlen);
+    for (int64_t i = 0; i < n; i++) {
+      char buf[64];
+      uint64_t v = kmers[i];
+      if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
+      to_ascii(v, klen, buf);
+      MurmurPre pre;
+      murmur_pre(buf, klen, pre);
+      for (int j = 0; j < num_hash; j++) {
+        set_bit(bf, murmur_eval(pre, kHashSeeds[j % 128]) % bf_bitlen);
+      }
+    }
+    return;
+  }
+  const int64_t nblk = (n + kBlk - 1) / kBlk;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t b = 0; b < nblk; b++) {
+    const int64_t i0 = b * kBlk, i1 = i0 + kBlk < n ? i0 + kBlk : n;
+    uint64_t pos[kBlk][32];
+    for (int64_t i = i0; i < i1; i++) {
+      char buf[64];
+      uint64_t v = kmers[i];
+      if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
+      to_ascii(v, klen, buf);
+      MurmurPre pre;
+      murmur_pre(buf, klen, pre);
+      for (int j = 0; j < num_hash; j++) {
+        uint64_t p = murmur_eval(pre, kHashSeeds[j]) % bf_bitlen;
+        pos[i - i0][j] = p;
+        __builtin_prefetch(bf + (p >> 3), 1, 1);
+      }
+    }
+    for (int64_t i = i0; i < i1; i++) {
+      for (int j = 0; j < num_hash; j++) set_bit(bf, pos[i - i0][j]);
     }
   }
 }
@@ -211,21 +247,52 @@ void kx_check_bloom(const uint64_t* kmers, int64_t n, int k,
                     int substr_mode, uint8_t* out, int n_threads) {
   if (bf_bitlen == 0) { memset(out, 0, n); return; }
   const int klen = substr_mode ? k - 2 : k;
+  if (num_hash > 32) {  // beyond the block buffers: direct path
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(n_threads) schedule(static)
 #endif
-  for (int64_t i = 0; i < n; i++) {
-    char buf[64];
-    uint64_t v = kmers[i];
-    if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
-    to_ascii(v, klen, buf);
-    MurmurPre pre;
-    murmur_pre(buf, klen, pre);
-    uint8_t ok = 1;
-    for (int j = 0; j < num_hash && ok; j++) {
-      ok = check_bit(bf, murmur_eval(pre, kHashSeeds[j]) % bf_bitlen);
+    for (int64_t i = 0; i < n; i++) {
+      char buf[64];
+      uint64_t v = kmers[i];
+      if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
+      to_ascii(v, klen, buf);
+      MurmurPre pre;
+      murmur_pre(buf, klen, pre);
+      uint8_t ok = 1;
+      for (int j = 0; j < num_hash && ok; j++) {
+        ok = check_bit(bf, murmur_eval(pre, kHashSeeds[j % 128]) % bf_bitlen);
+      }
+      out[i] = ok;
     }
-    out[i] = ok;
+    return;
+  }
+  const int64_t nblk = (n + kBlk - 1) / kBlk;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t b = 0; b < nblk; b++) {
+    const int64_t i0 = b * kBlk, i1 = i0 + kBlk < n ? i0 + kBlk : n;
+    uint64_t pos[kBlk][32];
+    for (int64_t i = i0; i < i1; i++) {
+      char buf[64];
+      uint64_t v = kmers[i];
+      if (substr_mode) v = (v >> 2) & ((~0ULL) >> (64 - 2 * (k - 2)));
+      to_ascii(v, klen, buf);
+      MurmurPre pre;
+      murmur_pre(buf, klen, pre);
+      for (int j = 0; j < num_hash; j++) {
+        uint64_t p = murmur_eval(pre, kHashSeeds[j]) % bf_bitlen;
+        pos[i - i0][j] = p;
+        __builtin_prefetch(bf + (p >> 3), 0, 1);
+      }
+    }
+    for (int64_t i = i0; i < i1; i++) {
+      uint8_t ok = 1;
+      for (int j = 0; j < num_hash && ok; j++) {
+        ok = check_bit(bf, pos[i - i0][j]);
+      }
+      out[i] = ok;
+    }
   }
 }
 
@@ -235,21 +302,15 @@ namespace {
 // bit j of `bin` goes to position murmur(ascii, seed[index][j]) % len in
 // bit_array_1, with the tag set in bit_array_2 — allowed only if no already-
 // tagged probe position disagrees with the bin bit.
-inline bool insert_to_array(const MurmurPre& pre, uint32_t bin,
-                            uint8_t* bit1, uint8_t* bit2, uint64_t bit_len,
-                            int n_hash, const uint32_t* seeds) {
-  uint64_t pos[32];
-  uint32_t b = bin;
-  for (int j = 0; j < n_hash; j++) {
-    pos[j] = murmur_eval(pre, seeds[j]) % bit_len;
-  }
+inline bool insert_to_array_pos(const uint64_t* pos, uint32_t bin,
+                                uint8_t* bit1, uint8_t* bit2, int n_hash) {
   for (int j = 0; j < n_hash; j++) {
     bool v1 = check_bit(bit1, pos[j]);
     bool v2 = check_bit(bit2, pos[j]);
-    if (v2 && v1 != (bool)((b >> j) & 1)) return false;
+    if (v2 && v1 != (bool)((bin >> j) & 1)) return false;
   }
   for (int j = 0; j < n_hash; j++) {
-    if ((b >> j) & 1) set_bit(bit1, pos[j]);
+    if ((bin >> j) & 1) set_bit(bit1, pos[j]);
     set_bit(bit2, pos[j]);
   }
   return true;
@@ -333,29 +394,55 @@ struct Encoder {
   }
 
   // Drain one bucket into one array, sequentially (kmodel.hpp:543-555).
+  // Probe positions depend only on the k-mer, so a block of them is
+  // computed and prefetched ahead of the (strictly in-order) insert pass —
+  // the inserts themselves stay sequential, preserving the reference's
+  // conflict semantics bit-exactly.
   void insert_array(int bucket, int array, int64_t& real_n) {
     KmerBuf* a = buf[bucket].data();
     uint8_t* b1 = bit1 + (uint64_t)array * km_byte_size;
     uint8_t* b2 = bit2 + (uint64_t)array * km_byte_size;
     const uint32_t* sd = seeds[array].data();
     char ascii[64];
-    for (int64_t c = 0; c < real_n; c++) {
-      to_ascii(a[c].kmer, k, ascii);
-      MurmurPre pre;
-      murmur_pre(ascii, k, pre);
-      uint32_t occ = a[c].occ;
-      uint32_t bin = (occ < (uint64_t)occ2bin_len) ? occ2bin[occ] : 0;
-      if (insert_to_array(pre, bin, b1, b2, km_bit_size, n_hash, sd)) {
-        // middle (k-2)-mer into km_back (kmodel.hpp:546-551)
+    constexpr int64_t B = 16;
+    uint64_t pos[B][32];
+    uint64_t bpos[B][32];
+    uint32_t bins[B];
+    for (int64_t c0 = 0; c0 < real_n; c0 += B) {
+      const int64_t c1 = c0 + B < real_n ? c0 + B : real_n;
+      for (int64_t c = c0; c < c1; c++) {
+        to_ascii(a[c].kmer, k, ascii);
+        MurmurPre pre;
+        murmur_pre(ascii, k, pre);
+        uint32_t occ = a[c].occ;
+        bins[c - c0] = (occ < (uint64_t)occ2bin_len) ? occ2bin[occ] : 0;
+        for (int j = 0; j < n_hash; j++) {
+          uint64_t p = murmur_eval(pre, sd[j]) % km_bit_size;
+          pos[c - c0][j] = p;
+          __builtin_prefetch(b1 + (p >> 3), 1, 1);
+          __builtin_prefetch(b2 + (p >> 3), 1, 1);
+        }
+        // km_back positions speculatively (inserts succeed ~95% of the
+        // time, and the eval is far cheaper than a DRAM stall)
         uint64_t mid = (a[c].kmer >> 2) & mid_mask;
         char mascii[64];
         to_ascii(mid, k - 2, mascii);
         MurmurPre mpre;
         murmur_pre(mascii, k - 2, mpre);
         for (int j = 0; j < back_num_hash; j++) {
-          set_bit(km_back, murmur_eval(mpre, kHashSeeds[j]) % back_bit_len);
+          uint64_t p = murmur_eval(mpre, kHashSeeds[j]) % back_bit_len;
+          bpos[c - c0][j] = p;
+          __builtin_prefetch(km_back + (p >> 3), 1, 1);
         }
-        a[c].occ = 0;
+      }
+      for (int64_t c = c0; c < c1; c++) {
+        if (insert_to_array_pos(pos[c - c0], bins[c - c0], b1, b2, n_hash)) {
+          // middle (k-2)-mer into km_back (kmodel.hpp:546-551)
+          for (int j = 0; j < back_num_hash; j++) {
+            set_bit(km_back, bpos[c - c0][j]);
+          }
+          a[c].occ = 0;
+        }
       }
     }
     real_n = reorder_buffer(a, real_n);
@@ -451,25 +538,67 @@ void kx_find_bitarray(const uint64_t* kmers, int64_t n, int k, int n_bits,
     seeds[i].resize(n_hash);
     for (int j = 0; j < n_hash; j++) seeds[i][j] = kHashSeeds[(i * n_hash + j) % 128];
   }
+  if (n_bits > 8 || n_hash > 32) {  // beyond the block buffers: direct path
 #ifdef _OPENMP
 #pragma omp parallel for num_threads(n_threads) schedule(static)
 #endif
-  for (int64_t i = 0; i < n; i++) {
-    char ascii[64];
-    to_ascii(kmers[i], k, ascii);
-    MurmurPre pre;
-    murmur_pre(ascii, k, pre);
-    for (int a = 0; a < n_bits; a++) {
-      const uint8_t* b1 = bit1 + (uint64_t)a * km_byte_size;
-      const uint8_t* b2 = bit2 + (uint64_t)a * km_byte_size;
-      bool ok = true;
-      int32_t bin = 0;
-      for (int j = 0; j < n_hash; j++) {
-        uint64_t pos = murmur_eval(pre, seeds[a][j]) % km_bit_size;
-        bin |= ((int32_t)check_bit(b1, pos)) << j;
-        if (!check_bit(b2, pos)) ok = false;  // no early break: matches ref
+    for (int64_t i = 0; i < n; i++) {
+      char ascii[64];
+      to_ascii(kmers[i], k, ascii);
+      MurmurPre pre;
+      murmur_pre(ascii, k, pre);
+      for (int a = 0; a < n_bits; a++) {
+        const uint8_t* b1 = bit1 + (uint64_t)a * km_byte_size;
+        const uint8_t* b2 = bit2 + (uint64_t)a * km_byte_size;
+        bool ok = true;
+        int32_t bin = 0;
+        for (int j = 0; j < n_hash; j++) {
+          uint64_t p = murmur_eval(pre, seeds[a][j]) % km_bit_size;
+          bin |= ((int32_t)check_bit(b1, p)) << j;
+          if (!check_bit(b2, p)) ok = false;
+        }
+        out_bins[i * n_bits + a] = ok ? bin : -1;
       }
-      out_bins[i * n_bits + a] = ok ? bin : -1;
+    }
+    return;
+  }
+  const int64_t nblk = (n + kBlk - 1) / kBlk;
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(n_threads) schedule(static)
+#endif
+  for (int64_t b = 0; b < nblk; b++) {
+    const int64_t i0 = b * kBlk, i1 = i0 + kBlk < n ? i0 + kBlk : n;
+    // positions for the whole block (all arrays) computed + prefetched first
+    uint64_t pos[kBlk][8][32];
+    for (int64_t i = i0; i < i1; i++) {
+      char ascii[64];
+      to_ascii(kmers[i], k, ascii);
+      MurmurPre pre;
+      murmur_pre(ascii, k, pre);
+      for (int a = 0; a < n_bits; a++) {
+        const uint8_t* b1 = bit1 + (uint64_t)a * km_byte_size;
+        const uint8_t* b2 = bit2 + (uint64_t)a * km_byte_size;
+        for (int j = 0; j < n_hash; j++) {
+          uint64_t p = murmur_eval(pre, seeds[a][j]) % km_bit_size;
+          pos[i - i0][a][j] = p;
+          __builtin_prefetch(b1 + (p >> 3), 0, 1);
+          __builtin_prefetch(b2 + (p >> 3), 0, 1);
+        }
+      }
+    }
+    for (int64_t i = i0; i < i1; i++) {
+      for (int a = 0; a < n_bits; a++) {
+        const uint8_t* b1 = bit1 + (uint64_t)a * km_byte_size;
+        const uint8_t* b2 = bit2 + (uint64_t)a * km_byte_size;
+        bool ok = true;
+        int32_t bin = 0;
+        for (int j = 0; j < n_hash; j++) {
+          uint64_t p = pos[i - i0][a][j];
+          bin |= ((int32_t)check_bit(b1, p)) << j;
+          if (!check_bit(b2, p)) ok = false;  // no early break: matches ref
+        }
+        out_bins[i * n_bits + a] = ok ? bin : -1;
+      }
     }
   }
 }
