@@ -71,9 +71,10 @@ class DeviceKModel:
         self.bf_len = [int(x) for x in km.bloom.length_bf]
         self.bf_back_len = [int(x) for x in km.bloom.length_bf_back]
 
-        # coupled arrays + km_back
-        self.bit1 = put(km.bit1)  # [nb, bytes]
-        self.bit2 = put(km.bit2)
+        # coupled arrays + km_back.  bit1/bit2 are interleaved into one u16
+        # plane so each probe needs ONE gather for both the value bit and the
+        # tag bit — the probe gathers are the query's dominant device cost.
+        self.bit12 = put(km.bit1.astype(np.uint16) | (km.bit2.astype(np.uint16) << 8))
         self.km_bit_size = int(km.km_bit_size)
         self.km_back = put(km.km_back) if km.byte_km_back else None
         self.bit_km_back = int(km.bit_km_back)
@@ -154,10 +155,11 @@ class DeviceKModel:
             kmers.shape + (self.n_bits, self.n_hash)
         )
         byte = (pos >> _U64(3)).astype(jnp.int64)
-        shift = (jnp.uint8(7) - (pos & _U64(7)).astype(jnp.uint8))
+        shift = (jnp.uint16(7) - (pos & _U64(7)).astype(jnp.uint16))
         nb_idx = jnp.arange(self.n_bits)[:, None]
-        v1 = (self.bit1[nb_idx, byte] >> shift) & jnp.uint8(1)
-        v2 = (self.bit2[nb_idx, byte] >> shift) & jnp.uint8(1)
+        w = self.bit12[nb_idx, byte]  # one gather: low byte bit1, high bit2
+        v1 = ((w >> shift) & jnp.uint16(1)).astype(jnp.uint8)
+        v2 = ((w >> (shift + jnp.uint16(8))) & jnp.uint16(1)).astype(jnp.uint8)
         ok = jnp.all(v2 == 1, axis=-1)
         weights = (jnp.int32(1) << jnp.arange(self.n_hash, dtype=jnp.int32))
         bins = jnp.sum(v1.astype(jnp.int32) * weights, axis=-1)
@@ -264,7 +266,10 @@ class DeviceKModel:
                 & is_back
                 & (((nbin == 1) & (bf_occ != 0)) | (nbin >= 2))
             )
-            return out, ambiguous, kmers, B, bf_occ
+            # Only (out, ambiguous) cross the device->host link (the link is
+            # the end-to-end bottleneck); phase 2 recomputes B/bf_occ on
+            # device for the few ambiguous survivors.
+            return out, ambiguous
 
         return main
 
@@ -272,9 +277,15 @@ class DeviceKModel:
 
     def _build_resolve(self):
         """Phase 2 (ambiguous queries only): neighbor candidates + the
-        reference's majority/nearest-bin rules (kmodel.hpp:292-322)."""
+        reference's majority/nearest-bin rules (kmodel.hpp:292-322).  Takes
+        raw packed k-mers and recomputes B/bf_occ on device — cheaper than
+        shipping per-query probe state over the host link for ~0.1% of
+        queries."""
 
-        def resolve(kmers, B, bf_occ):
+        def resolve(kmers):
+            kmers = codec.canonical_jnp(kmers.astype(_U64), self.k)
+            B = self._find_bitarray(kmers)
+            bf_occ = self._check_all_bf(kmers)
             pos_mask = B > 0
             nbin = jnp.sum(pos_mask, axis=-1)
             first_idx = jnp.argmax(pos_mask, axis=-1)
@@ -303,18 +314,24 @@ class DeviceKModel:
 
         return resolve
 
-    # Queries are processed in fixed-size tiles: the probe tensors scale as
-    # N x 8 neighbors x n_bits x n_hash, so an unbounded batch blows HBM at
-    # compile time (a 1M-query batch wants ~32GB).  One tile shape = one
-    # compiled program; throughput saturates well below 2^15.
-    TILE = 1 << 15
+    # Queries are processed in fixed-size tiles: the probe tensors scale
+    # with N x n_bits x n_hash, so an unbounded batch blows HBM at compile
+    # time, and one tile shape = one compiled program.  Device throughput is
+    # gather-bound; the host link is hidden by pipelining uploads, compute
+    # and async downloads across tiles.
+    TILE = 1 << 16
+    # Tiles in flight at once: bounds device memory for huge query batches
+    # while keeping the upload/compute/download pipeline full.
+    GROUP = 64
 
     def kmer_to_occ(self, kmers_u64, tile: int | None = None) -> np.ndarray:
         """Batched query; input packed uint64, canonicalized on device.
 
-        Arbitrarily large batches run in TILE-sized phase-1 device calls;
-        the ambiguous survivors (typically ~1%) are compacted on host and
-        resolved in RESOLVE_TILE-sized phase-2 calls."""
+        Arbitrarily large batches run in TILE-sized phase-1 device calls
+        (uploads first, then dispatches, downloads async — on a tunneled
+        device each blocking round trip costs ~10ms, so nothing blocks until
+        all tiles of a group are in flight); the ambiguous survivors
+        (typically ~0.1%) are resolved in RESOLVE_TILE-sized phase-2 calls."""
         qa = np.asarray(kmers_u64, dtype=np.uint64)
         q = qa.reshape(-1)
         tile = tile or self.TILE
@@ -324,46 +341,42 @@ class DeviceKModel:
 
         out = np.zeros(n, dtype=np.int32)
         amb_idx: list[np.ndarray] = []
-        amb_k: list[np.ndarray] = []
-        amb_B: list[np.ndarray] = []
-        amb_occ: list[np.ndarray] = []
-        pending = []  # keep device results async until all tiles dispatched
-        for a in range(0, n, tile):
-            chunk = q[a : a + tile]
-            nc = len(chunk)
-            t = min(tile, 1 << max(0, (nc - 1).bit_length()))
-            if nc < t:
-                chunk = np.pad(chunk, (0, t - nc))
-            pending.append((a, nc, self._main(jnp.asarray(chunk, dtype=_U64))))
-        for a, nc, (o, amb, kk, B, occ) in pending:
-            o = np.asarray(o)[:nc]
-            amb_np = np.asarray(amb)[:nc]
-            out[a : a + nc] = o
-            ai = np.flatnonzero(amb_np)
-            if len(ai):
-                amb_idx.append(ai + a)
-                amb_k.append(np.asarray(kk)[:nc][ai])
-                amb_B.append(np.asarray(B)[:nc][ai])
-                amb_occ.append(np.asarray(occ)[:nc][ai])
+        starts = list(range(0, n, tile))
+        for g in range(0, len(starts), self.GROUP):
+            group = starts[g : g + self.GROUP]
+            chunks = []
+            for a in group:
+                chunk = q[a : a + tile]
+                nc = len(chunk)
+                t = min(tile, 1 << max(0, (nc - 1).bit_length()))
+                if nc < t:
+                    chunk = np.pad(chunk, (0, t - nc))
+                chunks.append((a, nc, chunk))
+            # stage 1: all uploads (independent of any queued compute)
+            dev = [(a, nc, jax.device_put(c)) for a, nc, c in chunks]
+            # stage 2: all dispatches + async downloads
+            pending = []
+            for a, nc, c in dev:
+                o, amb = self._main(c)
+                o.copy_to_host_async()
+                amb.copy_to_host_async()
+                pending.append((a, nc, o, amb))
+            # stage 3: harvest
+            for a, nc, o, amb in pending:
+                out[a : a + nc] = np.asarray(o)[:nc]
+                ai = np.flatnonzero(np.asarray(amb)[:nc])
+                if len(ai):
+                    amb_idx.append(ai + a)
         if amb_idx:
             idx = np.concatenate(amb_idx)
-            ks = np.concatenate(amb_k)
-            Bs = np.concatenate(amb_B)
-            occs = np.concatenate(amb_occ)
+            ks = q[idx]  # phase 2 recomputes probe state on device
             rt = self.RESOLVE_TILE
             res = []
             for a in range(0, len(idx), rt):
                 ke = ks[a : a + rt]
-                Be = Bs[a : a + rt]
-                oe = occs[a : a + rt]
                 nc = len(ke)
-                t = min(rt, 1 << max(0, (nc - 1).bit_length()))
-                if nc < t:
-                    ke = np.pad(ke, (0, t - nc))
-                    Be = np.pad(Be, ((0, t - nc), (0, 0)))
-                    oe = np.pad(oe, (0, t - nc))
-                res.append(np.asarray(self._resolve(
-                    jnp.asarray(ke, dtype=_U64), jnp.asarray(Be), jnp.asarray(oe)
-                ))[:nc])
+                if nc < rt:  # one fixed shape -> one compiled program
+                    ke = np.pad(ke, (0, rt - nc))
+                res.append(np.asarray(self._resolve(jnp.asarray(ke, dtype=_U64)))[:nc])
             out[idx] = np.concatenate(res)
         return out.reshape(qa.shape)
