@@ -106,10 +106,12 @@ def main() -> None:
     log("warm-up (compilation) ...")
     count_encode(str(fq), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB, **kwargs)
 
-    # Best of 3 measured passes: this rig's relay/host timing is noisy.
+    # Best of 4 measured passes: this rig's relay/host timing is noisy
+    # (same-work wall time varies ~2x run to run).
+    n_rep = int(os.environ.get("KMCEX_BENCH_REPS", 4))
     best = None
-    for rep in range(3):
-        log(f"measured pass {rep + 1}/3 ...")
+    for rep in range(n_rep):
+        log(f"measured pass {rep + 1}/{n_rep} ...")
         t0 = time.time()
         km, kmers, counts, stats = count_encode(
             str(fq), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB, **kwargs
@@ -143,10 +145,13 @@ def main() -> None:
             from kmcex_tpu.query.device_model import DeviceKModel
 
             dm = DeviceKModel(km)
-            dm.kmer_to_occ(q[: dm.TILE])  # compile
-            t0 = time.time()
-            dm.kmer_to_occ(q)
-            log(f"device kmer_to_occ: {nq / (time.time() - t0) / 1e6:.2f} Mqueries/s")
+            dm.kmer_to_occ(q[: dm.TILE])  # compile (main + resolve shapes)
+            best_q = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                dm.kmer_to_occ(q)
+                best_q = min(best_q, time.time() - t0)
+            log(f"device kmer_to_occ: {nq / best_q / 1e6:.2f} Mqueries/s")
         except Exception as e:
             log(f"query benchmark skipped: {e}")
 

@@ -12,9 +12,14 @@ engine a drop-in replacement for the external ``kmc`` binary the reference
 shells out to (main.cpp:137-140): anything that consumes a KMC1 DB — the
 reference kmcEx included — can read our output.
 
+Quake mode (mode=1, float counters) follows the vendored API semantics
+exactly: the [min_count, max_count] filter applies to the counter's RAW
+uint32 bit pattern (the float variant of ReadNextKmer just memcpy's the
+already-filtered integer counter, kmc_file.cpp:408-420), and float listings/
+lookups reinterpret the same bits.
+
 Restrictions vs the vendored API: k <= 32 (one uint64 per k-mer; the
-reference CLI defaults to k=31 and its own uint64 utilities cap at 32), and
-mode 0 (integer counters) only — quake/float mode is legacy.
+reference CLI defaults to k=31 and its own uint64 utilities cap at 32).
 """
 
 from __future__ import annotations
@@ -65,8 +70,8 @@ class KMCReader:
             raise ValueError(f"unsupported KMC version 0x{self.kmc_version:x}")
         if self.kmer_length > 32:
             raise ValueError("k > 32 not supported (packed-uint64 k-mers)")
-        if self.mode != 0:
-            raise ValueError("quake/float counter mode not supported")
+        if self.mode not in (0, 1):
+            raise ValueError(f"unknown counter mode {self.mode}")
         self.sufix_size = (self.kmer_length - self.lut_prefix_length) // 4
         self.sufix_rec_size = self.sufix_size + self.counter_size
         self._decoded: tuple[np.ndarray, np.ndarray] | None = None
@@ -165,14 +170,22 @@ class KMCReader:
         prefixes = prefixes[:total]
 
         kmers = (prefixes << _U64(2 * 4 * self.sufix_size)) | suffix
+        # min/max filter on the raw uint32 counter even in quake mode — the
+        # reference's float ReadNextKmer wraps the already-filtered integer
+        # path and just memcpy's the bits (kmc_file.cpp:408-420).
         keep = (counts >= self.min_count) & (counts <= self.max_count)
-        self._decoded = (kmers[keep], counts[keep].astype(np.uint32))
+        kept = counts[keep].astype(np.uint32)
+        if self.mode == 1:
+            kept = kept.view(np.float32)
+        self._decoded = (kmers[keep], kept)
         return self._decoded
 
     # -- random access (CheckKmer, kmc_file.cpp:320-397) ----------------------
     def check_kmers(self, kmers_u64: np.ndarray) -> np.ndarray:
-        """Batched CheckKmer: exact counts for canonical k-mers, 0 if absent.
-        Callers canonicalize (the vendored API leaves that to the caller too)."""
+        """Batched CheckKmer: exact counts for canonical k-mers, 0 if absent
+        (float32 counters for quake-mode databases, like the vendored float
+        CheckKmer overload).  Callers canonicalize (the vendored API leaves
+        that to the caller too)."""
         kmers = np.asarray(kmers_u64, dtype=_U64)
         suf_bits = _U64(2 * 4 * self.sufix_size)
         prefixes = (kmers >> suf_bits).astype(np.int64)
@@ -194,7 +207,7 @@ class KMCReader:
         all_kmers, all_counts = self.list_all()
         suffix_sorted = all_kmers & ((_U64(1) << suf_bits) - _U64(1))
 
-        out = np.zeros(len(kmers), dtype=np.uint32)
+        out = np.zeros(len(kmers), dtype=all_counts.dtype)
         # per-query binary search (vectorized via searchsorted on slices is
         # awkward; do a masked loop over log2 range instead)
         lo_i = lo.copy()
@@ -227,6 +240,7 @@ def write_kmc1(
     max_count: int = 0xFFFFFFFF,
     counter_size: int | None = None,
     lut_prefix_length: int | None = None,
+    mode: int = 0,
 ) -> None:
     """Write a KMC1-format database readable by the vendored KMC API.
 
@@ -234,15 +248,24 @@ def write_kmc1(
     prefix-LUT index then suffix).  Layout per kmc_file.cpp:236-289: .kmc_pre
     = KMCP | LUT u64[4^p] | header (5 u64 + 4 pad) | header_offset u32 |
     version u32 (=0) | KMCP; .kmc_suf = KMCS | records | KMCS with records =
-    suffix bytes (MSB-first bases) + counter (LE)."""
+    suffix bytes (MSB-first bases) + counter (LE).
+
+    ``mode=1`` writes a quake-format database: ``counts`` may be float32
+    (stored as raw IEEE bits in a 4-byte counter, kmc_file.cpp:408-420)."""
     kmers = np.ascontiguousarray(kmers_u64, dtype=_U64)
+    counts = np.asarray(counts)
+    if mode == 1:
+        counts = counts.astype(np.float32).view(np.uint32).astype(np.uint64)
     counts = np.ascontiguousarray(counts, dtype=np.uint64)
     if len(kmers) > 1 and not (kmers[1:] > kmers[:-1]).all():
         raise ValueError("kmers must be strictly ascending")
     p = lut_prefix_length or lut_prefix_len_for(k)
-    data_max = int(counts.max()) if len(counts) else 1
-    bound = data_max if max_count == 0xFFFFFFFF else max(data_max, int(max_count))
-    cbytes = counter_size or counter_size_for(bound)
+    if mode == 1:
+        cbytes = 4  # quake counters are always 4-byte float bit patterns
+    else:
+        data_max = int(counts.max()) if len(counts) else 1
+        bound = data_max if max_count == 0xFFFFFFFF else max(data_max, int(max_count))
+        cbytes = counter_size or counter_size_for(bound)
     n_lut = 1 << (2 * p)
     suf_bases = k - p
     sufix_size = suf_bases // 4
@@ -255,7 +278,7 @@ def write_kmc1(
     lut_full[1:] = np.cumsum(cnts)[:-1]
 
     header = np.zeros(5, dtype=np.uint64)
-    header[0] = _U64(k)  # mode 0 in high bits
+    header[0] = _U64(k) | (_U64(mode) << _U64(32))
     header[1] = _U64(cbytes) | (_U64(p) << _U64(32))
     header[2] = _U64(min_count) | (_U64(min(max_count, 0xFFFFFFFF)) << _U64(32))
     header[3] = _U64(total)

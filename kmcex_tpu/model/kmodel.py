@@ -130,6 +130,10 @@ class KModel:
         from kmcex_tpu.io import kmc_db
 
         db = kmc_db.KMCReader(db_path)
+        if db.mode != 0:
+            # The reference feeds quake float bits straight into its integer
+            # encode path (garbage); reject instead of building a broken model.
+            raise ValueError("KModel requires an integer-counter (mode 0) database")
         kmers, counts = db.list_all()
         self.init_from_pairs(kmers, counts, db.kmer_length)
 

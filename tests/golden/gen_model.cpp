@@ -5,6 +5,7 @@
 // writer.  New code; only calls the reference API.
 //
 // usage: gen_model list <db_path>
+//        gen_model listf <db_path>      (quake mode: float counters)
 //        gen_model build <db_path> <save_dir> <ci> <cs> <nh> <nb>
 //        gen_model query <save_dir>     (k-mer strings on stdin, occ per line)
 #include <cstdio>
@@ -26,6 +27,17 @@ int main(int argc, char** argv) {
         uint32 count;
         while (f.ReadNextKmer(kmer, count)) {
             printf("%s %u\n", kmer.to_string().c_str(), count);
+        }
+        return 0;
+    }
+    if (mode == "listf") {  // quake databases: float counters
+        CKMCFile f;
+        if (!f.OpenForListing(db)) { fprintf(stderr, "open failed\n"); return 1; }
+        uint32 k = f.KmerLength();
+        CKmerAPI kmer(k);
+        float count;
+        while (f.ReadNextKmer(kmer, count)) {
+            printf("%s %.9g\n", kmer.to_string().c_str(), count);
         }
         return 0;
     }

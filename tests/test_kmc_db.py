@@ -1,6 +1,7 @@
 """KMC database reader/writer unit tests (io/kmc_db.py)."""
 
 import numpy as np
+import pytest
 
 from kmcex_tpu.core import codec
 from kmcex_tpu.io import kmc_db
@@ -62,6 +63,32 @@ def test_check_kmers(tmp_path):
     lookup = dict(zip(can.tolist(), counts.tolist()))
     want = np.array([lookup.get(int(x), 0) for x in q], dtype=np.uint32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_quake_mode_roundtrip(tmp_path):
+    """mode=1 stores float32 counters as raw IEEE bits (kmc_file.cpp:408-420);
+    the listing filter applies to the bit pattern, not the float value."""
+    can, _ = _pairs(3, 3000, 31)
+    rng = np.random.default_rng(3)
+    fcounts = (rng.random(len(can)) * 100).astype(np.float32) + np.float32(0.5)
+    db = str(tmp_path / "qdb")
+    kmc_db.write_kmc1(db, can, fcounts, 31, min_count=1,
+                      max_count=0xFFFFFFFF, mode=1)
+    r = kmc_db.KMCReader(db)
+    assert r.mode == 1 and r.counter_size == 4
+    kmers, cts = r.list_all()
+    assert cts.dtype == np.float32
+    np.testing.assert_array_equal(kmers, can)
+    np.testing.assert_array_equal(cts, fcounts)
+    # random access returns float counters too
+    got = r.check_kmers(can[::7])
+    np.testing.assert_array_equal(got, fcounts[::7])
+    # the model layer must refuse quake databases (the reference would feed
+    # float bits into its integer encode)
+    from kmcex_tpu.model.kmodel import get_model
+
+    with pytest.raises(ValueError):
+        get_model(1, 1023, 7, 5).init(db)
 
 
 def test_counter_size_rule():

@@ -113,3 +113,22 @@ def test_reference_reads_our_kmc1_db(ref_harness, tmp_path):
     got_c = np.array([int(l.split()[1]) for l in lines], dtype=np.uint32)
     np.testing.assert_array_equal(got_k, can)
     np.testing.assert_array_equal(got_c, counts.astype(np.uint32))
+
+
+def test_reference_reads_our_quake_db(ref_harness, tmp_path):
+    """Quake-mode (mode=1, float counter) databases we write are readable by
+    the vendored float ReadNextKmer overload (kmc_file.cpp:408-420)."""
+    can, _, rng = _make_pairs(4, 20000, 31, 1, 1023)
+    fcounts = (rng.random(len(can)) * 50).astype(np.float32) + np.float32(0.25)
+    db = str(tmp_path / "qdb")
+    kmc_db.write_kmc1(db, can, fcounts, 31, min_count=1,
+                      max_count=0xFFFFFFFF, mode=1)
+    out = subprocess.run(
+        [ref_harness, "listf", db], capture_output=True, text=True, check=True
+    )
+    lines = out.stdout.strip().split("\n")
+    assert len(lines) == len(can)
+    got_k = np.array([codec.string_to_u64(l.split()[0]) for l in lines], dtype=np.uint64)
+    got_c = np.array([float(l.split()[1]) for l in lines], dtype=np.float32)
+    np.testing.assert_array_equal(got_k, can)
+    np.testing.assert_array_equal(got_c, fcounts)
