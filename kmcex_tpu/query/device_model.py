@@ -48,9 +48,20 @@ def _gather_bits(bits: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 
 
 class DeviceKModel:
-    """Immutable device copy of a built/loaded KModel + jitted query."""
+    """Immutable device copy of a built/loaded KModel + jitted query.
 
-    def __init__(self, km: KModel):
+    ``sharding``/``in_sharding`` turn the single-chip server into a
+    data-parallel multi-chip one: pass a replicated NamedSharding for the
+    model tables and a batch-sharded NamedSharding for the query tiles (see
+    parallel.serve.ShardedKModelServer) — every op in the query program is
+    batch-parallel, so XLA's SPMD partitioner splits it across the mesh with
+    no collectives (the reference's OpenMP query fan-out, kmodel.hpp:90-98,
+    scaled to chips)."""
+
+    def __init__(self, km: KModel, sharding=None, in_sharding=None):
+        self._in_sharding = in_sharding
+        # batch-sharded tiles must divide the mesh
+        self._tile_quantum = in_sharding.mesh.size if in_sharding is not None else 1
         self.k = km.kmer_length
         self.n_hash = km.n_hash
         self.n_bits = km.n_bits
@@ -62,8 +73,8 @@ class DeviceKModel:
         self.km_back_num_hash = km.km_back_num_hash
         self.bin_end_index1 = km.occu_bin.bin_end_index1
 
-        dev = jax.devices()[0]
-        put = lambda x: jax.device_put(jnp.asarray(x), dev)
+        target = sharding if sharding is not None else jax.devices()[0]
+        put = lambda x: jax.device_put(jnp.asarray(x), target)
 
         # Bloom bank (zero-length filters stay host-side as static facts)
         self.bf_bits = [put(b) if len(b) else None for b in km.bloom.bit_bf]
@@ -348,12 +359,16 @@ class DeviceKModel:
             for a in group:
                 chunk = q[a : a + tile]
                 nc = len(chunk)
-                t = min(tile, 1 << max(0, (nc - 1).bit_length()))
+                t = min(tile, max(1 << max(0, (nc - 1).bit_length()),
+                                  self._tile_quantum))
                 if nc < t:
                     chunk = np.pad(chunk, (0, t - nc))
                 chunks.append((a, nc, chunk))
             # stage 1: all uploads (independent of any queued compute)
-            dev = [(a, nc, jax.device_put(c)) for a, nc, c in chunks]
+            dev = [
+                (a, nc, jax.device_put(c, self._in_sharding))
+                for a, nc, c in chunks
+            ]
             # stage 2: all dispatches + async downloads
             pending = []
             for a, nc, c in dev:
@@ -377,6 +392,7 @@ class DeviceKModel:
                 nc = len(ke)
                 if nc < rt:  # one fixed shape -> one compiled program
                     ke = np.pad(ke, (0, rt - nc))
-                res.append(np.asarray(self._resolve(jnp.asarray(ke, dtype=_U64)))[:nc])
+                ked = jax.device_put(ke.astype(np.uint64), self._in_sharding)
+                res.append(np.asarray(self._resolve(ked))[:nc])
             out[idx] = np.concatenate(res)
         return out.reshape(qa.shape)

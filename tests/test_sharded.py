@@ -68,3 +68,33 @@ def test_sharded_accumulator_matches_single_device():
     want_k, want_c = ref.finalize(ci=1, cs=1023)
     np.testing.assert_array_equal(got_k, want_k)
     np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_sharded_query_matches_host():
+    """Data-parallel serving (parallel.serve): replicated model, queries
+    sharded over the mesh -> answers identical to the host query path."""
+    from kmcex_tpu.model.kmodel import get_model
+    from kmcex_tpu.parallel.serve import ShardedKModelServer
+
+    rng = np.random.default_rng(42)
+    k = 31
+    mask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    can = np.unique(codec.canonical_np(
+        rng.integers(0, 1 << 62, size=40000, dtype=np.uint64) & mask, k))
+    counts = np.clip(rng.zipf(1.5, size=len(can)), 1, 1023).astype(np.uint32)
+    km = get_model(1, 1023, 7, 5)
+    km.init_from_pairs(can, counts, k)
+
+    mesh = sharded.make_mesh(8)
+    srv = ShardedKModelServer(km, mesh, tile=1 << 13)
+    q = np.concatenate([
+        can[:: max(1, len(can) // 4000)],
+        rng.integers(0, 1 << 62, size=3000, dtype=np.uint64) & mask,
+        can[:7] ^ np.uint64(0b1100),  # near-miss neighbors
+    ])
+    got = srv.kmer_to_occ(q)
+    want = km.kmer_to_occ_u64(q)
+    np.testing.assert_array_equal(got, want)
+    # ragged tail exercises pad-to-mesh-quantum
+    got_small = srv.kmer_to_occ(q[:13])
+    np.testing.assert_array_equal(got_small, want[:13])
