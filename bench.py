@@ -70,11 +70,11 @@ def make_fastq(path: pathlib.Path) -> None:
 
 def build_ref_harness() -> str | None:
     exe = BENCH_DIR / "gen_model"
-    if exe.exists():
+    src = pathlib.Path(__file__).parent / "tests" / "golden" / "gen_model.cpp"
+    if exe.exists() and exe.stat().st_mtime >= src.stat().st_mtime:
         return str(exe)
     if not os.path.isdir(REF):
         return None
-    src = pathlib.Path(__file__).parent / "tests" / "golden" / "gen_model.cpp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++11", "-fopenmp", f"-I{REF}",
         "-o", str(exe), str(src),
@@ -177,6 +177,30 @@ def main() -> None:
             f"missing blob): {t_ref:.2f}s -> {ref_reads_per_s:,.0f} reads/s"
         )
         vs_baseline = reads_per_s / ref_reads_per_s
+
+        # query throughput baseline: the reference's own batch API
+        # (kmer_to_occ(vector<string>, threads), kmodel.hpp:90-98)
+        if os.environ.get("KMCEX_BENCH_QUERY", "1") != "0":
+            try:
+                from kmcex_tpu.core import codec
+
+                rng = np.random.default_rng(7)
+                nq_ref = 200_000
+                qs = np.concatenate([
+                    rng.choice(kmers, nq_ref // 2),
+                    rng.integers(0, 1 << 62, nq_ref // 2, dtype=np.uint64)
+                    & ((np.uint64(1) << np.uint64(2 * K)) - np.uint64(1)),
+                ])
+                lines = "\n".join(codec.u64_to_string(int(v), K) for v in qs)
+                r = subprocess.run(
+                    [harness, "qbench", str(ref_dir), "4"],
+                    input=lines, capture_output=True, text=True, check=True,
+                )
+                t_refq = float(r.stdout.strip())
+                log(f"reference kmer_to_occ (4 threads): "
+                    f"{nq_ref / t_refq / 1e6:.2f} Mqueries/s")
+            except Exception as e:
+                log(f"reference query benchmark skipped: {e}")
 
     print(json.dumps({
         "metric": "count+encode throughput (k=31, nh=7, nb=5, 150bp reads)",

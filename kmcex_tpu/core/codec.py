@@ -55,6 +55,12 @@ def string_to_u64(s: str) -> int:
     return int(pack_codes_np(string_to_codes(s)))
 
 
+def strings_to_u64(kmers: list[str], k: int) -> np.ndarray:
+    """Vectorized kmers2uint64 for a batch of equal-length k-mer strings."""
+    buf = np.frombuffer("".join(kmers).encode(), dtype=np.uint8)
+    return pack_codes_np(encode_bases(buf.reshape(len(kmers), k)))
+
+
 def u64_to_string(v: int, k: int) -> str:
     """Reference Tools::uint64_to_string (tools.hpp:90-100)."""
     out = bytearray(k)

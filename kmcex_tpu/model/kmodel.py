@@ -159,7 +159,9 @@ class KModel:
         if isinstance(kmer, str):
             return int(self.kmer_to_occ_u64(np.array([codec.string_to_u64(kmer)], dtype=_U64))[0])
         if isinstance(kmer, (list, tuple)):
-            packed = np.array([codec.string_to_u64(s) for s in kmer], dtype=_U64)
+            if not kmer:
+                return []
+            packed = codec.strings_to_u64(list(kmer), self.kmer_length).astype(_U64)
             return [int(x) for x in self.kmer_to_occ_u64(packed)]
         return self.kmer_to_occ_u64(np.asarray(kmer, dtype=_U64))
 

@@ -10,8 +10,10 @@
 //        gen_model query <save_dir>     (k-mer strings on stdin, occ per line)
 #include <cstdio>
 #include <cstdlib>
+#include <omp.h>
 #include <string>
 #include <iostream>
+#include <vector>
 using namespace std;
 #include "kmodel.hpp"
 
@@ -57,6 +59,24 @@ int main(int argc, char** argv) {
         while (cin >> kmer) {
             printf("%d\n", km->kmer_to_occ(kmer));
         }
+        return 0;
+    }
+    if (mode == "qbench") {  // batched query throughput (reference OMP path)
+        KModel* km = get_model(db);  // db arg = save_dir here
+        int threads = argc > 3 ? atoi(argv[3]) : 4;
+        vector<string> qs;
+        string kmer;
+        while (cin >> kmer) qs.push_back(kmer);
+        // warm + timed pass over the reference batch API (kmodel.hpp:90-98)
+        vector<int> occs = km->kmer_to_occ(qs, threads);
+        double t0 = omp_get_wtime();
+        occs = km->kmer_to_occ(qs, threads);
+        double dt = omp_get_wtime() - t0;
+        long long sum = 0;
+        for (int v : occs) sum += v;
+        fprintf(stderr, "qbench %zu queries %.4fs (checksum %lld)\n",
+                qs.size(), dt, sum);
+        printf("%.6f\n", dt);
         return 0;
     }
     fprintf(stderr, "unknown mode\n");
