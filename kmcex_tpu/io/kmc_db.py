@@ -241,6 +241,7 @@ def write_kmc1(
     counter_size: int | None = None,
     lut_prefix_length: int | None = None,
     mode: int = 0,
+    both_strands: bool = True,
 ) -> None:
     """Write a KMC1-format database readable by the vendored KMC API.
 
@@ -282,7 +283,9 @@ def write_kmc1(
     header[1] = _U64(cbytes) | (_U64(p) << _U64(32))
     header[2] = _U64(min_count) | (_U64(min(max_count, 0xFFFFFFFF)) << _U64(32))
     header[3] = _U64(total)
-    header[4] = _U64(0)  # both_strands flag byte 0 => canonical
+    # both_strands flag low nibble: 0 => canonical, 1 => single strand
+    # (kmc_file.cpp:262-274)
+    header[4] = _U64(0 if both_strands else 1)
 
     with open(path + ".kmc_pre", "wb") as f:
         f.write(_MARKER)

@@ -155,7 +155,11 @@ class KModel:
     def kmer_to_occ(self, kmer, t_num: int = 4):
         """Approximate count lookup.  Accepts one k-mer string, a list of
         strings (reference batch API, kmodel.hpp:90-98), or a packed uint64
-        array (fast path)."""
+        array (fast path).  ``t_num`` sets the native probe thread count,
+        like the reference's OMP fan-out."""
+        from kmcex_tpu import native
+
+        native.set_num_threads(t_num)
         if isinstance(kmer, str):
             return int(self.kmer_to_occ_u64(np.array([codec.string_to_u64(kmer)], dtype=_U64))[0])
         if isinstance(kmer, (list, tuple)):

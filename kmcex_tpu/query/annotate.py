@@ -20,8 +20,10 @@ import numpy as np
 from kmcex_tpu.core import codec
 
 
-def extract_windows_np(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """[B, L] uint8 codes -> (canonical kmers [B, W] u64, valid [B, W])."""
+def extract_windows_np(codes: np.ndarray, k: int,
+                       canonical: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """[B, L] uint8 codes -> (kmers [B, W] u64, valid [B, W]); canonicalized
+    unless ``canonical=False`` (single-strand databases)."""
     B, L = codes.shape
     W = L - k + 1
     if W <= 0:
@@ -33,7 +35,9 @@ def extract_windows_np(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarra
     kmer = np.zeros((B, W), dtype=np.uint64)
     for t in range(k):
         kmer |= c[:, t : t + W] << np.uint64(2 * (k - 1 - t))
-    return codec.canonical_np(kmer, k), valid
+    if canonical:
+        kmer = codec.canonical_np(kmer, k)
+    return kmer, valid
 
 
 def _reads_to_codes(reads: list[str]) -> np.ndarray:
@@ -47,8 +51,10 @@ def _reads_to_codes(reads: list[str]) -> np.ndarray:
 def annotate_with_db(reader, reads: list[str] | np.ndarray, k: int | None = None) -> list[np.ndarray]:
     """Exact per-window counters from a KMC database (io.kmc_db.KMCReader).
 
-    Matches CKMCFile::GetCountersForRead for canonical databases: windows
-    with invalid bases or absent k-mers get 0."""
+    Matches CKMCFile::GetCountersForRead: canonical lookups for both-strands
+    databases, direct lookups for single-strand ones (kmc_file.cpp:991-1130
+    has both variants), float counters for quake databases, and 0 for windows
+    with invalid bases or absent k-mers."""
     k = k or reader.kmer_length
     if isinstance(reads, list):
         codes = _reads_to_codes(reads)
@@ -56,10 +62,12 @@ def annotate_with_db(reader, reads: list[str] | np.ndarray, k: int | None = None
     else:
         codes = reads
         lens = [codes.shape[1]] * len(codes)
-    kmers, valid = extract_windows_np(codes, k)
+    kmers, valid = extract_windows_np(codes, k,
+                                      canonical=getattr(reader, "both_strands", True))
     counts = reader.check_kmers(kmers.reshape(-1)).reshape(kmers.shape)
     counts = np.where(valid, counts, 0)
-    return [counts[i, : max(lens[i] - k + 1, 0)].astype(np.uint32) for i in range(len(lens))]
+    out_dt = counts.dtype if counts.dtype == np.float32 else np.uint32
+    return [counts[i, : max(lens[i] - k + 1, 0)].astype(out_dt) for i in range(len(lens))]
 
 
 def annotate_with_model(model, reads: list[str] | np.ndarray, k: int | None = None) -> list[np.ndarray]:

@@ -63,3 +63,34 @@ def test_annotate_with_model():
     # window 0 is exactly can[10]; model query for it equals kmer_to_occ
     want = km.kmer_to_occ(codec.u64_to_string(int(can[10]), k))
     assert out[0][0] == want
+
+
+def test_annotate_single_strand_db(tmp_path):
+    """Single-strand databases (both_strands=0) look windows up without
+    canonicalization, matching the vendored GetCountersForRead variants."""
+    import numpy as np
+
+    from kmcex_tpu.core import codec
+    from kmcex_tpu.io import kmc_db
+    from kmcex_tpu.query import annotate
+
+    k = 15
+    rng = np.random.default_rng(11)
+    mask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    kmers = np.unique(rng.integers(0, 1 << (2 * k), 4000, dtype=np.uint64) & mask)
+    counts = rng.integers(1, 100, len(kmers), dtype=np.uint64)
+    db = str(tmp_path / "ss")
+    kmc_db.write_kmc1(db, kmers, counts, k, both_strands=False)
+    r = kmc_db.KMCReader(db)
+    assert not r.both_strands
+
+    read = codec.u64_to_string(int(kmers[10]), k) + "A"
+    (got,) = annotate.annotate_with_db(r, [read])
+    # window 0 is kmers[10] exactly (no canonicalization); its count matches
+    assert got[0] == counts[10]
+    # the canonical form of a non-stored reverse complement must NOT hit:
+    rc = codec.revcomp_np(np.array([kmers[10]], np.uint64), k)[0]
+    if rc != kmers[10] and rc not in set(kmers.tolist()):
+        read_rc = codec.u64_to_string(int(rc), k)
+        (got_rc,) = annotate.annotate_with_db(r, [read_rc])
+        assert got_rc[0] == 0
