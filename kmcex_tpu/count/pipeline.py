@@ -130,6 +130,9 @@ def count_encode(
                 acc.add_batch_packed(packed, maskbits)
         with ph.phase("merge+stats"):
             total, low_hist, chunks = acc.finalize_stream(ci, cs)
+        # a producer thread owns the device->host pulls + delta decode so the
+        # (GIL-releasing) native encode on the main thread overlaps them
+        chunks = prefetch_iterator(chunks, depth=4)
         t_count = time.time() - t0
 
         collected: list[tuple[np.ndarray, np.ndarray]] = []
