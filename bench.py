@@ -178,6 +178,15 @@ def main() -> None:
         )
         vs_baseline = reads_per_s / ref_reads_per_s
 
+        # memory-saving ratio (the reference README's headline metric):
+        # KMC database bytes vs encoded model bytes
+        db_bytes = sum(
+            os.path.getsize(str(db) + ext) for ext in (".kmc_pre", ".kmc_suf")
+        )
+        log(f"memory-saving ratio vs KMC database: "
+            f"{db_bytes / km.total_model_bytes():.2f}x "
+            f"({db_bytes >> 20}MB -> {km.total_model_bytes() >> 20}MB)")
+
         # query throughput baseline: the reference's own batch API
         # (kmer_to_occ(vector<string>, threads), kmodel.hpp:90-98)
         if os.environ.get("KMCEX_BENCH_QUERY", "1") != "0":
