@@ -104,6 +104,11 @@ class DeviceKModel:
             suf_bits = 2 * kld.suf_len
             self.rest_suf_bits = suf_bits
             self.rest_suffix = put(kld._ensure_suffix_int())
+            # binary-search step count for the bucket-local search: buckets
+            # are tiny (CSR by k-mer prefix), so a handful of gather steps
+            # replaces a full-table searchsorted (log2(n) gathers per lane)
+            bucket_max = int(np.max(np.diff(kld.pre_buffer))) if len(kld.pre_buffer) > 1 else 1
+            self.rest_steps = max(1, int(np.ceil(np.log2(bucket_max + 1))))
         # occ decode LUTs
         self.bin2mean = put(km.occu_bin.bin2mean_lut.astype(np.int32))
         self.occ2bin = put(km.occu_bin.occ2bin_lut.astype(np.int32))
@@ -187,8 +192,19 @@ class DeviceKModel:
         pre_idx = self.rest_h2i[prefixes]
         valid = pre_idx >= 0
         safe = jnp.maximum(pre_idx, 0).astype(jnp.int64)
+        lo = self.rest_pre[safe].astype(jnp.int64)
         hi = self.rest_pre[safe + 1].astype(jnp.int64)
-        pos = jnp.searchsorted(self.rest_kmers, kmers)
+        # bucket-local binary search: the CSR prefix buckets are tiny, so a
+        # fixed handful of gather steps replaces the full-table searchsorted
+        lo_i, hi_i = lo, hi
+        for _ in range(self.rest_steps):
+            active = lo_i < hi_i
+            mid = (lo_i + hi_i) >> 1
+            mv = self.rest_kmers[jnp.minimum(mid, self.rest_n - 1)]
+            go_right = active & (mv < kmers)
+            lo_i = jnp.where(go_right, mid + 1, lo_i)
+            hi_i = jnp.where(active & ~go_right, mid, hi_i)
+        pos = lo_i
         posc = jnp.minimum(pos, self.rest_n - 1)
         hit = valid & (pos < hi) & (self.rest_kmers[posc] == kmers)
         out = jnp.where(hit, self.rest_counts[posc], 0)
