@@ -103,14 +103,18 @@ def _pack_final(kmers, counts, cs: int, narrow: bool):
     return kmers, c
 
 
-@jax.jit
-def _final_stats(kmers, counts, ci):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _final_stats(kmers, counts, ci, n_chunks: int = 1):
     """One fused pass over the final table: encode-sizing stats (the
     reference's pass 1, kmodel.hpp:423-434) plus the delta-transfer
     parameters, so one tiny pull decides everything before table bytes move.
 
     Returns (total pairs >= ci, histogram of counter==ci+i for i<3, n_real,
-    max_gap between consecutive real k-mers, first k-mer)."""
+    per-row max gap between consecutive real k-mers, per-row max count,
+    first k-mer).  Per-row maxima let each transfer row use its own bit
+    width: canonical k-mers (min of fwd/rc) thin out near the top of the
+    key space, so the global max gap (~2^51 here) is ~2^10 larger than the
+    typical gap — a global width would waste a byte per entry."""
     valid = (kmers != SENTINEL) & (counts >= ci)
     total = jnp.sum(valid, dtype=jnp.int64)
     hist = jnp.stack(
@@ -121,38 +125,54 @@ def _final_stats(kmers, counts, ci):
     idx = jnp.arange(kmers.shape[0])
     prev = jnp.concatenate([kmers[:1], kmers[:-1]])
     gap = jnp.where(real & (idx > 0), kmers - prev, 0)
-    max_gap = jnp.max(gap)
-    return total, hist, n_real, max_gap, kmers[0]
+    row_gap_max = jnp.max(gap.reshape(n_chunks, -1), axis=1)
+    cnt = jnp.where(real, counts, 0)
+    row_cnt_max = jnp.max(cnt.reshape(n_chunks, -1), axis=1)
+    return total, hist, n_real, row_gap_max, row_cnt_max, kmers[0]
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _delta_pack(kmers, counts, wbytes: int, n_chunks: int, cs: int, narrow: bool):
-    """Bitpack the sorted table for transfer over the slow host link:
-    consecutive-k-mer deltas at ``wbytes`` bytes each (byte-aligned
-    little-endian; the sorted table's gaps are far below 2^64) plus clamped
-    counts, both reshaped to n_chunks rows for async chunked pulls.  The
-    native kx_decode_deltas reverses it at memory speed."""
-    d = kmers - jnp.concatenate([kmers[:1], kmers[:-1]])
-    d = jnp.where(jnp.arange(kmers.shape[0]) == 0, 0, d)  # first sent via stats
-    kb = jnp.stack(
-        [((d >> jnp.uint64(8 * j)) & jnp.uint64(0xFF)).astype(jnp.uint8)
-         for j in range(wbytes)],
-        axis=1,
-    )  # [n, wbytes]
-    c = jnp.minimum(counts, jnp.uint32(cs))
-    if narrow:
-        c = c.astype(jnp.uint16)
-    return kb.reshape(n_chunks, -1), c.reshape(n_chunks, -1)
+def _pack_bits(vals: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Pack ``vals`` (uint64, each < 2**width, len % 8 == 0) into a dense
+    little-endian bitstream: each group of 8 values becomes exactly
+    ``width`` bytes (value a of a group occupies stream bits
+    [a*width, (a+1)*width)).  Static unroll over the width byte lanes —
+    every lane is one full-vector shift/or, which XLA fuses."""
+    g = vals.reshape(-1, 8)
+    lanes = []
+    for j in range(width):
+        lo_bit = 8 * j
+        b = jnp.zeros((g.shape[0],), jnp.uint64)
+        a = lo_bit // width
+        while a < 8 and a * width < lo_bit + 8:
+            sh = lo_bit - a * width
+            if sh >= 0:
+                b = b | (g[:, a] >> jnp.uint64(sh))
+            else:
+                b = b | (g[:, a] << jnp.uint64(-sh))
+            a += 1
+        lanes.append(b.astype(jnp.uint8))
+    return jnp.stack(lanes, axis=1).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _split_rows(kmers, counts, n_chunks: int):
-    return kmers.reshape(n_chunks, -1), counts.reshape(n_chunks, -1)
-
-
-@jax.jit
-def _take_row(x, i):
-    return jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _pack_row(kmers, counts, row, m: int, wbits: int, cbits: int, cs: int):
+    """Bit-pack transfer row ``row`` (entries [row*m, row*m + m)) of the
+    sorted table: consecutive-k-mer deltas at ``wbits`` bits each plus
+    cs-clamped counts at ``cbits`` bits.  Row widths come from the per-row
+    maxima in _final_stats; the native kx_unpack_deltas/kx_unpack_counts
+    reverse this at memory speed."""
+    start = row * m
+    seg = jax.lax.dynamic_slice(kmers, (start,), (m,))
+    prev = jnp.where(start > 0, kmers[jnp.maximum(start - 1, 0)], seg[0])
+    d = seg - jnp.concatenate([prev[None], seg[:-1]])
+    # zero pad-region deltas: a SENTINEL-sized delta would overflow its
+    # wbits slot and corrupt neighbouring lanes in the same 8-group
+    d = jnp.where(seg == SENTINEL, jnp.uint64(0), d)
+    kb = _pack_bits(d, wbits)
+    c = jnp.minimum(jax.lax.dynamic_slice(counts, (start,), (m,)),
+                    jnp.uint32(cs)).astype(jnp.uint64)
+    cb = _pack_bits(c, cbits)
+    return kb, cb
 
 
 def _next_pow2(n: int) -> int:
@@ -309,13 +329,15 @@ class DeviceCountAccumulator:
         keep = counts >= ci
         return kmers[keep], counts[keep]
 
-    def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF, n_chunks: int = 8):
+    def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF, n_chunks: int = 16):
         """Streaming finalize: returns (total, low_hist, chunk_iter) where
         ``chunk_iter`` yields (kmers, counts) numpy chunks in ascending-k-mer
         order, already ci-filtered and cs-clamped.
 
         The table crosses the slow host link (~33MB/s relay here) as
-        byte-aligned k-mer deltas + narrowed counts, in async chunked pulls
+        bit-packed k-mer deltas + bit-packed counts with PER-ROW widths
+        (canonical k-mers thin out toward the top of the key space, so one
+        global width wastes a byte per entry), in async chunked pulls
         started up front; all-padding rows are never transferred; consuming
         a chunk (feeding the model encoder) overlaps later transfers."""
         self._merge_device_runs()
@@ -341,40 +363,54 @@ class DeviceCountAccumulator:
         if not self.runs:
             return 0, np.zeros(3, dtype=np.int64), iter(())
         u, c, size = self.runs[0]
-        total, hist, n_real, max_gap, first = _final_stats(u, c, np.uint32(ci))
+        while n_chunks > 1 and (size % n_chunks or (size // n_chunks) % 8):
+            n_chunks //= 2
+        total, hist, n_real, row_gap, row_cnt, first = _final_stats(
+            u, c, np.uint32(ci), n_chunks
+        )
         total = int(total)
         hist = np.asarray(hist)
         n_real = int(n_real)
         if n_real == 0:
             return 0, hist, iter(())
-        wbytes = max(1, (int(max_gap).bit_length() + 7) // 8)
         first = int(first)
-        while n_chunks > 1 and size % n_chunks:
-            n_chunks -= 1
-        narrow = cs < (1 << 16)
-        krows, crows = _delta_pack(u, c, wbytes, n_chunks, int(cs), narrow)
+        row_gap = np.asarray(row_gap)
+        row_cnt = np.minimum(np.asarray(row_cnt), np.uint32(cs))
         m = size // n_chunks  # entries per row
+        if m % 8:  # tiny table: pull it raw, no packing
+            ku = np.asarray(u)[:n_real]
+            kc = np.asarray(c)[:n_real].astype(np.uint32)
+
+            def tiny():
+                keep = kc >= ci
+                yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
+
+            return total, hist, tiny()
         rows = []
         for i in range(n_chunks):
             if i * m >= n_real:
                 break  # trailing rows are pure padding; skip the transfer
-            su = _take_row(krows, i)
-            sc = _take_row(crows, i)
-            su.copy_to_host_async()
-            sc.copy_to_host_async()
-            rows.append((su, sc))
+            # round widths up to even so the compiled-variant count stays
+            # small (<= 1 extra bit per entry)
+            wbits = min(64, (max(1, int(row_gap[i]).bit_length()) + 1) & ~1)
+            cbits = min(32, (max(1, int(row_cnt[i]).bit_length()) + 1) & ~1)
+            kb, cb = _pack_row(u, c, i, m, wbits, cbits, int(cs))
+            kb.copy_to_host_async()
+            cb.copy_to_host_async()
+            rows.append((kb, cb, wbits, cbits))
 
         def it():
             from kmcex_tpu import native
 
             base = np.uint64(first)
-            for i, (su, sc) in enumerate(rows):
-                kb = np.asarray(su)
-                kc = np.asarray(sc).astype(np.uint32)
+            for i, (kbj, cbj, wbits, cbits) in enumerate(rows):
+                kb = np.asarray(kbj)
+                cbytes = np.asarray(cbj)
                 n_here = min(n_real - i * m, m)
-                ku = native.decode_deltas(kb, n_here, wbytes, int(base))
+                ku = native.unpack_deltas(kb, n_here, wbits, int(base))
+                kc = native.unpack_counts(cbytes, n_here, cbits)
                 base = ku[-1]
-                keep = kc[:n_here] >= ci
-                yield ku[keep], kc[:n_here][keep]
+                keep = kc >= ci
+                yield ku[keep], kc[keep]
 
         return total, hist, it()

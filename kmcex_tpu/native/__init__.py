@@ -68,9 +68,13 @@ def _declare(L: ctypes.CDLL) -> None:
     L.kx_merge_runs.argtypes = [
         u64p, u32p, ctypes.c_int64, u64p, u32p, ctypes.c_int64, u64p, u32p,
     ]
-    L.kx_decode_deltas.restype = None
-    L.kx_decode_deltas.argtypes = [
-        u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, u64p,
+    L.kx_unpack_deltas.restype = None
+    L.kx_unpack_deltas.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_uint64, u64p,
+    ]
+    L.kx_unpack_counts.restype = None
+    L.kx_unpack_counts.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, u32p,
     ]
     L.kx_segment_buffer.restype = ctypes.c_int64
     L.kx_segment_buffer.argtypes = [
@@ -209,14 +213,26 @@ def merge_runs(ka: np.ndarray, ca: np.ndarray, kb: np.ndarray, cb: np.ndarray
     return ko[:n], co[:n]
 
 
-def decode_deltas(bytes_arr: np.ndarray, n: int, wbytes: int, base: int) -> np.ndarray:
-    """Decode ``n`` byte-aligned little-endian deltas (``wbytes`` each) into
-    absolute uint64 values starting from ``base`` (delta 0 is 0)."""
+def unpack_deltas(bytes_arr: np.ndarray, n: int, wbits: int, base: int) -> np.ndarray:
+    """Decode ``n`` bit-packed little-endian deltas (``wbits`` each, device
+    _pack_bits layout) into absolute uint64 values starting from ``base``
+    (delta 0 is 0)."""
     bytes_arr = np.ascontiguousarray(bytes_arr.reshape(-1), dtype=np.uint8)
     out = np.zeros(n, dtype=np.uint64)
-    lib().kx_decode_deltas(
-        _ptr(bytes_arr, ctypes.c_uint8), n, wbytes, base,
+    lib().kx_unpack_deltas(
+        _ptr(bytes_arr, ctypes.c_uint8), len(bytes_arr), n, wbits, base,
         _ptr(out, ctypes.c_uint64),
+    )
+    return out
+
+
+def unpack_counts(bytes_arr: np.ndarray, n: int, cbits: int) -> np.ndarray:
+    """Decode ``n`` bit-packed counts (``cbits`` each) into uint32."""
+    bytes_arr = np.ascontiguousarray(bytes_arr.reshape(-1), dtype=np.uint8)
+    out = np.zeros(n, dtype=np.uint32)
+    lib().kx_unpack_counts(
+        _ptr(bytes_arr, ctypes.c_uint8), len(bytes_arr), n, cbits,
+        _ptr(out, ctypes.c_uint32),
     )
     return out
 

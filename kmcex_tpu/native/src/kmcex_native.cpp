@@ -629,23 +629,49 @@ int64_t kx_merge_runs(const uint64_t* ka, const uint32_t* ca, int64_t na,
   return o;
 }
 
-// Decode a byte-aligned little-endian delta stream (device _delta_pack):
-// out[i] = base + sum of the first i+1 deltas, where delta 0 is 0 (the
-// first absolute k-mer travels separately).
-void kx_decode_deltas(const uint8_t* bytes, int64_t n, int wbytes,
-                      uint64_t base, uint64_t* out) {
-  if (n <= 0) return;
+// Read the wbits-wide little-endian bit field starting at stream bit
+// i*wbits (device _pack_bits layout: value a of each 8-group occupies bits
+// [a*wbits, (a+1)*wbits) of the group's wbits-byte block).
+static inline uint64_t read_bits(const uint8_t* bytes, int64_t nbytes,
+                                 int64_t i, int wbits, uint64_t mask) {
+  int64_t bit = i * (int64_t)wbits;
+  int64_t byte = bit >> 3;
+  int shift = (int)(bit & 7);
+  uint64_t v;
+  if (byte + 9 <= nbytes) {
+    uint64_t lo;
+    memcpy(&lo, bytes + byte, 8);
+    v = lo >> shift;
+    if (shift && shift + wbits > 64) v |= (uint64_t)bytes[byte + 8] << (64 - shift);
+  } else {  // tail-safe slow path (last few entries only)
+    v = 0;
+    int need = (shift + wbits + 7) >> 3;
+    for (int b = 0; b < need && byte + b < nbytes; b++)
+      v |= (uint64_t)bytes[byte + b] << (8 * b);
+    v >>= shift;
+  }
+  return v & mask;
+}
+
+// Decode a bit-packed delta stream (device _pack_row): out[i] = base + sum
+// of the first i+1 deltas, where delta 0 is 0 (the first absolute k-mer
+// travels separately in the stats pull).
+void kx_unpack_deltas(const uint8_t* bytes, int64_t nbytes, int64_t n,
+                      int wbits, uint64_t base, uint64_t* out) {
+  const uint64_t mask = wbits >= 64 ? ~0ULL : ((1ULL << wbits) - 1);
   uint64_t acc = base;
-  const uint64_t mask = wbytes >= 8 ? ~0ULL : ((1ULL << (8 * wbytes)) - 1);
-  for (int64_t i = 0; i < n - 1; i++) {
-    uint64_t d;
-    memcpy(&d, bytes + i * wbytes, 8);  // little-endian; over-read masked
-    acc += d & mask;
+  for (int64_t i = 0; i < n; i++) {
+    acc += read_bits(bytes, nbytes, i, wbits, mask);
     out[i] = acc;
   }
-  uint64_t d = 0;  // exact copy for the final entry (no buffer over-read)
-  memcpy(&d, bytes + (n - 1) * wbytes, wbytes);
-  out[n - 1] = acc + (d & mask);
+}
+
+// Decode a bit-packed count stream (device _pack_row; cbits <= 32).
+void kx_unpack_counts(const uint8_t* bytes, int64_t nbytes, int64_t n,
+                      int cbits, uint32_t* out) {
+  const uint64_t mask = cbits >= 64 ? ~0ULL : ((1ULL << cbits) - 1);
+  for (int64_t i = 0; i < n; i++)
+    out[i] = (uint32_t)read_bits(bytes, nbytes, i, cbits, mask);
 }
 
 extern "C++" {  // the templated segmenter core has C++ linkage

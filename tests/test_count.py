@@ -159,3 +159,49 @@ def test_native_packed_stream_matches(tmp_path):
         wp, wm = pack_codes_np(codes)
         np.testing.assert_array_equal(packed, wp)
         np.testing.assert_array_equal(mask, wm)
+
+
+def test_bitpack_transfer_roundtrip():
+    """Device _pack_row bit-packing == native unpack, across widths and the
+    real/pad boundary (sentinel deltas must not corrupt neighbouring lanes)."""
+    import jax.numpy as jnp
+
+    from kmcex_tpu import native
+    from kmcex_tpu.count.device_lsm import SENTINEL, _final_stats, _pack_row
+
+    rng = np.random.default_rng(9)
+    for n_real, size, n_chunks, cs in [(1000, 1024, 4, 1023),
+                                       (777, 2048, 8, 255),
+                                       (64, 64, 1, 65535)]:
+        kmers = np.unique(
+            rng.integers(1, 1 << 50, size=2 * n_real, dtype=np.uint64))[:n_real]
+        assert len(kmers) == n_real
+        counts = rng.integers(1, 4 * cs, size=n_real).astype(np.uint32)
+        ku = np.full(size, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        kc = np.zeros(size, np.uint32)
+        ku[:n_real] = kmers
+        kc[:n_real] = counts
+        u, c = jnp.asarray(ku), jnp.asarray(kc)
+        total, hist, nr, row_gap, row_cnt, first = _final_stats(
+            u, c, np.uint32(1), n_chunks)
+        assert int(nr) == n_real
+        row_gap = np.asarray(row_gap)
+        row_cnt = np.minimum(np.asarray(row_cnt), np.uint32(cs))
+        m = size // n_chunks
+        base = np.uint64(int(first))
+        got_k, got_c = [], []
+        for i in range(n_chunks):
+            if i * m >= n_real:
+                break
+            wbits = min(64, (max(1, int(row_gap[i]).bit_length()) + 1) & ~1)
+            cbits = min(32, (max(1, int(row_cnt[i]).bit_length()) + 1) & ~1)
+            kb, cb = _pack_row(u, c, i, m, wbits, cbits, cs)
+            n_here = min(n_real - i * m, m)
+            dk = native.unpack_deltas(np.asarray(kb), n_here, wbits, int(base))
+            dc = native.unpack_counts(np.asarray(cb), n_here, cbits)
+            base = dk[-1]
+            got_k.append(dk)
+            got_c.append(dc)
+        np.testing.assert_array_equal(np.concatenate(got_k), kmers)
+        np.testing.assert_array_equal(
+            np.concatenate(got_c), np.minimum(counts, np.uint32(cs)))
