@@ -82,19 +82,17 @@ def pack_codes_np(codes: "np.ndarray"):
     return packed, maskbits
 
 
-@jax.jit
-def sort_count_unique(kmers: jnp.ndarray):
-    """Sort a flat uint64 k-mer array and segment-count duplicates.
+def segment_compact(s: jnp.ndarray):
+    """Segment-count duplicates of an already-sorted k-mer array and compact.
 
     Returns (unique_sorted [N] with SENTINEL padding at the tail, counts [N]
     aligned, n_unique scalar).  SENTINEL entries (masked windows) are
     dropped.  TPU-friendly formulation: XLA scatters serialize on TPU, so
     run lengths come from a reverse cummin over boundary positions (a fast
-    associative scan) and the compaction is a second key+payload sort —
-    sorts are ~10x cheaper than element scatters here.
+    associative scan) and the compaction is a key+payload sort — sorts are
+    ~10x cheaper than element scatters here.
     """
-    n = kmers.shape[0]
-    s = jnp.sort(kmers)
+    n = s.shape[0]
     idxs = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     valid = first & (s != SENTINEL)
@@ -110,3 +108,10 @@ def sort_count_unique(kmers: jnp.ndarray):
     n_unique = jnp.sum(valid, dtype=jnp.int64)
     counts_c = jnp.where(idxs < n_unique.astype(jnp.int32), counts_c, 0)
     return uniq_c, counts_c.astype(jnp.uint32), n_unique
+
+
+@jax.jit
+def sort_count_unique(kmers: jnp.ndarray):
+    """Sort a flat uint64 k-mer array and segment-count duplicates (see
+    segment_compact for the TPU-friendly formulation and return value)."""
+    return segment_compact(jnp.sort(kmers))

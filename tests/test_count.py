@@ -182,8 +182,12 @@ def test_bitpack_transfer_roundtrip():
         ku[:n_real] = kmers
         kc[:n_real] = counts
         u, c = jnp.asarray(ku), jnp.asarray(kc)
-        total, hist, nr, row_gap, row_cnt, first = _final_stats(
+        (total, hist, nr, row_gap, row_cnt,
+         first, first_c, last_k, last_c) = _final_stats(
             u, c, np.uint32(1), n_chunks)
+        assert int(first_c) == int(counts[0])
+        assert int(last_k) == int(kmers[-1])
+        assert int(last_c) == int(counts[-1])
         assert int(nr) == n_real
         row_gap = np.asarray(row_gap)
         row_cnt = np.minimum(np.asarray(row_cnt), np.uint32(cs))
@@ -205,3 +209,51 @@ def test_bitpack_transfer_roundtrip():
         np.testing.assert_array_equal(np.concatenate(got_k), kmers)
         np.testing.assert_array_equal(
             np.concatenate(got_c), np.minimum(counts, np.uint32(cs)))
+
+
+def test_parts_finalize_with_seam_straddles():
+    """The position-parts finalize (sorted tier compacted per part with
+    host-side seam merging) must equal a brute-force unique/count, including
+    duplicate runs spanning 2+ part seams, across ci/cs settings."""
+    import jax.numpy as jnp
+
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(11)
+    SEN = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for trial in range(6):
+        size = 256
+        # heavy duplication: few distinct values, with one value repeated
+        # enough to span multiple parts when sorted
+        vals = rng.integers(1, 25, size=size - 40, dtype=np.uint64) * 977
+        vals = np.concatenate([
+            vals,
+            np.full(30, np.uint64(7 * 977), np.uint64),  # long dup run
+            np.full(10, SEN, np.uint64),                 # masked windows
+        ])
+        rng.shuffle(vals)
+        for ci, cs in [(1, 1023), (2, 255), (3, 7)]:
+            acc = DeviceCountAccumulator(k=31)
+            acc.PARTS_MIN = 1
+            acc.N_PARTS = 8
+            for chunk in np.array_split(vals, 4):
+                acc.raw.append(jnp.asarray(chunk))
+                acc.raw_elems += len(chunk)
+            total, hist, it = acc.finalize_stream(ci, cs, n_chunks=16)
+            got_k, got_c = [], []
+            for ku, kc in it:
+                got_k.append(ku)
+                got_c.append(kc)
+            got_k = np.concatenate(got_k) if got_k else np.zeros(0, np.uint64)
+            got_c = np.concatenate(got_c) if got_c else np.zeros(0, np.uint32)
+            real = vals[vals != SEN]
+            want_k, want_c = np.unique(real, return_counts=True)
+            keep = want_c >= ci
+            want_k, want_c = want_k[keep], np.minimum(want_c[keep], cs)
+            np.testing.assert_array_equal(got_k, want_k)
+            np.testing.assert_array_equal(got_c, want_c.astype(np.uint32))
+            assert total == len(want_k)
+            want_hist = [int(np.count_nonzero(
+                np.unique(real, return_counts=True)[1] == ci + i))
+                for i in range(3)]
+            np.testing.assert_array_equal(hist, want_hist)

@@ -111,16 +111,23 @@ def test_finalize_stream_matches_finalize():
     k = 17
     a1 = DeviceCountAccumulator(k)
     a2 = DeviceCountAccumulator(k)
+    batches = []
     for _ in range(4):
         codes = rng.integers(0, 4, size=(64, 80)).astype(np.uint8)
         codes[rng.random(codes.shape) < 0.03] = 255
+        batches.append(codes)
+    # repeat some batches so multiplicities straddle the ci=2 threshold
+    for codes in batches + batches[:2]:
         a1.add_batch(codes)
         a2.add_batch(codes)
     want_k, want_c = a1.finalize(ci=2, cs=5)
+    assert len(want_k) > 0  # the comparison must be non-trivial
     total, hist, chunks = a2.finalize_stream(ci=2, cs=5)
     parts = list(chunks)
-    got_k = np.concatenate([p[0] for p in parts])
-    got_c = np.concatenate([p[1] for p in parts])
+    got_k = (np.concatenate([p[0] for p in parts]) if parts
+             else np.zeros(0, np.uint64))
+    got_c = (np.concatenate([p[1] for p in parts]) if parts
+             else np.zeros(0, np.uint32))
     np.testing.assert_array_equal(got_k, want_k)
     np.testing.assert_array_equal(got_c, want_c)
     assert total == len(want_k)
