@@ -96,25 +96,6 @@ def _collapse_kernel(kmers_list):
     return uniq, counts, n_unique.astype(jnp.int32)
 
 
-@jax.jit
-def _sort_tier(kmers_list):
-    """Concat a raw tier and sort it (duplicates kept): the first half of a
-    collapse, split out so per-part compaction can start pulling early parts
-    over the host link while later parts are still being compacted."""
-    flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
-    return jnp.sort(flat)
-
-
-@functools.partial(jax.jit, static_argnums=(2,))
-def _part_compact(s, p, Q: int):
-    """Segment-count and compact positions [p*Q, p*Q + Q) of a sorted k-mer
-    array that still has duplicates.  A duplicate run straddling a part
-    seam yields a LOCAL count in each part; the host merges seam entries
-    and corrects the sizing stats (finalize_stream)."""
-    seg = jax.lax.dynamic_slice(s, (p * Q,), (Q,))
-    return segment_compact(seg)
-
-
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _pack_final(kmers, counts, cs: int, narrow: bool):
     c = jnp.minimum(counts, jnp.uint32(cs))
@@ -124,17 +105,20 @@ def _pack_final(kmers, counts, cs: int, narrow: bool):
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def _final_stats(kmers, counts, ci, n_chunks: int = 1):
+def _final_stats(kmers, counts, ci, n_rows: int = 1):
     """One fused pass over the final table: encode-sizing stats (the
     reference's pass 1, kmodel.hpp:423-434) plus the delta-transfer
-    parameters, so one tiny pull decides everything before table bytes move.
+    parameters, packed into ONE flat u64 vector so a SINGLE host pull
+    decides everything before table bytes move — blocking device->host
+    roundtrips cost ~25ms each on the axon relay, so per-field pulls
+    dominated the old finalize.
 
-    Returns (total pairs >= ci, histogram of counter==ci+i for i<3, n_real,
-    per-row max gap between consecutive real k-mers, per-row max count,
-    first k-mer).  Per-row maxima let each transfer row use its own bit
-    width: canonical k-mers (min of fwd/rc) thin out near the top of the
-    key space, so the global max gap (~2^51 here) is ~2^10 larger than the
-    typical gap — a global width would waste a byte per entry."""
+    Layout: [0]=total pairs >= ci, [1:4]=histogram of counter==ci+i,
+    [4]=n_real, [5]=first k-mer, [6]=first count, [7]=last k-mer,
+    [8]=last count, [9:9+R]=per-row max delta, [9+R:9+2R]=per-row max
+    count.  Per-row maxima let each transfer row use its own bit width:
+    canonical k-mers (min of fwd/rc) thin out near the top of the key
+    space, so a global width would waste a byte per entry."""
     valid = (kmers != SENTINEL) & (counts >= ci)
     total = jnp.sum(valid, dtype=jnp.int64)
     hist = jnp.stack(
@@ -145,14 +129,36 @@ def _final_stats(kmers, counts, ci, n_chunks: int = 1):
     idx = jnp.arange(kmers.shape[0])
     prev = jnp.concatenate([kmers[:1], kmers[:-1]])
     gap = jnp.where(real & (idx > 0), kmers - prev, 0)
-    row_gap_max = jnp.max(gap.reshape(n_chunks, -1), axis=1)
+    row_gap_max = jnp.max(gap.reshape(n_rows, -1), axis=1)
     cnt = jnp.where(real, counts, 0)
-    row_cnt_max = jnp.max(cnt.reshape(n_chunks, -1), axis=1)
-    # seam scalars: first/last entry and counts, for host-side merging of
-    # duplicate runs that straddle part boundaries (parts path)
+    row_cnt_max = jnp.max(cnt.reshape(n_rows, -1), axis=1)
     last_i = jnp.maximum(n_real - 1, 0)
-    return (total, hist, n_real, row_gap_max, row_cnt_max,
-            kmers[0], counts[0], kmers[last_i], counts[last_i])
+    return jnp.concatenate([
+        jnp.stack([
+            total.astype(jnp.uint64),
+            hist[0].astype(jnp.uint64),
+            hist[1].astype(jnp.uint64),
+            hist[2].astype(jnp.uint64),
+            n_real.astype(jnp.uint64),
+            kmers[0],
+            counts[0].astype(jnp.uint64),
+            kmers[last_i],
+            counts[last_i].astype(jnp.uint64),
+        ]),
+        row_gap_max,
+        row_cnt_max.astype(jnp.uint64),
+    ])
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fused_finalize(kmers_list, ci, n_rows: int):
+    """The whole single-tier finalize as ONE device program: concat the raw
+    tier, sort, segment-count duplicates, compact, and compute the flat
+    stats vector.  One dispatch + one small pull replaces the old
+    sort/per-part-compact/per-field-stat chain (~15 blocking roundtrips)."""
+    flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
+    u, c, _ = segment_compact(jnp.sort(flat))
+    return u, c, _final_stats(u, c, ci, n_rows)
 
 
 def _pack_bits(vals: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -203,56 +209,22 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
-def _seam_groups(metas):
-    """Group the per-part seam scalars into duplicate chains: a k-mer whose
-    occurrence run straddles part seams appears as the last entry of one
-    part and the first entry of the next (and is the ONLY entry of any part
-    it fully spans).  Yields (kmer, [local unclamped counts]) with len >= 2
-    for every such chain."""
-    groups = []
-    cur = None  # (kmer, [local counts])
-    for m in metas:
-        if cur is not None and m["first_k"] == cur[0]:
-            cur[1].append(m["first_c"])
-            if m["n_real"] == 1:
-                continue  # part is entirely this k-mer; chain may extend
-            groups.append(cur)
-            cur = (m["last_k"], [m["last_c"]])
-            continue
-        if cur is not None:
-            groups.append(cur)
-        cur = (m["last_k"], [m["last_c"]])
-    if cur is not None:
-        groups.append(cur)
-    return [g for g in groups if len(g[1]) >= 2]
+def _decode_filter(meta, ci: int):
+    """Decode one _pack_run meta into ascending ci-filtered (kmers, counts)
+    chunks (counts in the packed stream are already cs-clamped)."""
+    for ku, kc in DeviceCountAccumulator._decode_run(meta):
+        keep = kc >= ci
+        if keep.any():
+            yield ku[keep], kc[keep]
 
 
-def _merge_seams(metas, ci: int, cs: int):
-    """Chain part decodes into one ascending ci-filtered stream, merging
-    duplicate entries at part seams.  Holds back the last entry of every
-    chunk until the next chunk shows it isn't continued (within a part
-    entries are distinct, so only seam entries ever merge)."""
-    pk = None
-    pc = 0
-    for m in metas:
-        for ku, kc in DeviceCountAccumulator._decode_run(m):
-            if not len(ku):
-                continue
-            if pk is not None:
-                if ku[0] == pk:
-                    kc = kc.copy()
-                    kc[0] = min(int(kc[0]) + pc, cs)
-                else:
-                    ku = np.concatenate([np.array([pk], np.uint64), ku])
-                    kc = np.concatenate([np.array([pc], np.uint32), kc])
-            pk = np.uint64(ku[-1])
-            pc = int(kc[-1])
-            ku, kc = ku[:-1], kc[:-1]
-            keep = kc >= ci
-            if keep.any():
-                yield ku[keep], kc[keep]
-    if pk is not None and pc >= ci:
-        yield np.array([pk], np.uint64), np.array([min(pc, cs)], np.uint32)
+def _row_count(size: int, max_rows: int = 128) -> int:
+    """Largest power-of-two row count <= max_rows such that rows divide
+    ``size`` into whole 8-groups (the _pack_bits unit)."""
+    r = max_rows
+    while r > 1 and (size % r or (size // r) % 8):
+        r //= 2
+    return r
 
 
 class DeviceCountAccumulator:
@@ -405,36 +377,37 @@ class DeviceCountAccumulator:
         keep = counts >= ci
         return kmers[keep], counts[keep]
 
-    def _pack_run(self, u, c, ci: int, cs: int, n_chunks: int):
-        """Stats + bit-packed transfer rows for one compacted run.  Starts
-        the async device->host pulls; returns a meta dict (None when empty)
-        consumed by _decode_run.  Counts in the packed stream are
-        cs-clamped; ci filtering happens at decode."""
+    def _pack_run(self, u, c, ci: int, cs: int, flat: np.ndarray | None = None):
+        """Bit-packed transfer rows for one compacted run.  ``flat`` is the
+        pulled _final_stats vector (computed + pulled here when not already
+        available).  Starts the async device->host pulls; returns a meta
+        dict (None when empty) consumed by _decode_run.  Counts in the
+        packed stream are cs-clamped; ci filtering happens at decode."""
         size = u.shape[0]
-        while n_chunks > 1 and (size % n_chunks or (size // n_chunks) % 8):
-            n_chunks //= 2
-        (total, hist, n_real, row_gap, row_cnt,
-         first, first_c, last_k, last_c) = _final_stats(
-            u, c, np.uint32(ci), n_chunks)
-        n_real = int(n_real)
+        n_rows = _row_count(size)
+        if flat is None:
+            flat = np.asarray(_final_stats(u, c, np.uint32(ci), n_rows))
+        assert len(flat) == 9 + 2 * _row_count(size), "stats/rows mismatch"
+        n_real = int(flat[4])
         if n_real == 0:
             return None
         meta = {
-            "total": int(total), "hist": np.asarray(hist), "n_real": n_real,
-            "first_k": int(first), "first_c": int(first_c),
-            "last_k": int(last_k), "last_c": int(last_c), "cs": int(cs),
+            "total": int(flat[0]), "hist": flat[1:4].astype(np.int64),
+            "n_real": n_real,
+            "first_k": int(flat[5]), "first_c": int(flat[6]),
+            "last_k": int(flat[7]), "last_c": int(flat[8]), "cs": int(cs),
         }
-        m = size // n_chunks  # entries per row
+        m = size // n_rows  # entries per row
         if m % 8:  # tiny table: pull it raw, no packing
             ku = np.asarray(u)[:n_real]
             kc = np.minimum(np.asarray(c)[:n_real].astype(np.uint32),
                             np.uint32(cs))
             meta["raw"] = (ku, kc)
             return meta
-        row_gap = np.asarray(row_gap)
-        row_cnt = np.minimum(np.asarray(row_cnt), np.uint32(cs))
+        row_gap = flat[9 : 9 + n_rows]
+        row_cnt = np.minimum(flat[9 + n_rows : 9 + 2 * n_rows], np.uint64(cs))
         rows = []
-        for i in range(n_chunks):
+        for i in range(n_rows):
             if i * m >= n_real:
                 break  # trailing rows are pure padding; skip the transfer
             # round widths up to even so the compiled-variant count stays
@@ -474,25 +447,27 @@ class DeviceCountAccumulator:
         ``chunk_iter`` yields (kmers, counts) numpy chunks in ascending-k-mer
         order, already ci-filtered and cs-clamped.
 
-        The table crosses the slow host link (~33MB/s relay here) as
-        bit-packed k-mer deltas + bit-packed counts with PER-ROW widths
-        (canonical k-mers thin out toward the top of the key space, so one
-        global width wastes a byte per entry), in async chunked pulls
-        started up front; all-padding rows are never transferred; consuming
-        a chunk (feeding the model encoder) overlaps later transfers.
-
-        When the whole input is one raw tier (the common case), the sorted
-        tier is compacted in N_PARTS position-parts so the first part's
-        pull overlaps the later parts' compaction — the link starts moving
-        ~2x earlier than a monolithic collapse allows."""
-        if (not self.runs and not self.host_runs and self.raw
-                and self.raw_elems >= self.PARTS_MIN):
+        The common case (the whole input is one raw tier) runs as ONE fused
+        device program — concat, sort, compact, stats — followed by ONE
+        small stats pull; blocking roundtrips on the axon relay cost ~25ms
+        each, so the old multi-dispatch/multi-pull structure spent more
+        time syncing than computing.  The table then crosses the slow host
+        link (~45MB/s here) as bit-packed k-mer deltas + counts with
+        PER-ROW widths (canonical k-mers thin out toward the top of the key
+        space, so one global width wastes a byte per entry) in async pulls
+        started up front; consuming a chunk (feeding the model encoder)
+        overlaps later transfers.  ``n_chunks`` is kept for API
+        compatibility (host-run chunking only)."""
+        if not self.runs and not self.host_runs and self.raw:
             size = sum(int(x.shape[0]) for x in self.raw)
-            P = self.N_PARTS
-            while P > 1 and (size % P or (size // P) % 8):
-                P //= 2
-            if P > 1:
-                return self._finalize_parts(ci, cs, n_chunks, P, size)
+            n_rows = _row_count(size)
+            u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci), n_rows)
+            self.raw = []
+            self.raw_elems = 0
+            meta = self._pack_run(u, c, ci, cs, np.asarray(flat))
+            if meta is None:
+                return 0, np.zeros(3, dtype=np.int64), iter(())
+            return meta["total"], meta["hist"], _decode_filter(meta, ci)
         self._merge_device_runs()
         host = self._finalize_host()
         if host is not None:
@@ -516,54 +491,7 @@ class DeviceCountAccumulator:
         if not self.runs:
             return 0, np.zeros(3, dtype=np.int64), iter(())
         u, c, _ = self.runs[0]
-        meta = self._pack_run(u, c, ci, cs, n_chunks)
+        meta = self._pack_run(u, c, ci, cs)
         if meta is None:
             return 0, np.zeros(3, dtype=np.int64), iter(())
-        return meta["total"], meta["hist"], _merge_seams([meta], ci, cs)
-
-    # Position-parts of the sorted tier; a compacted part is ~1/P of the
-    # distinct k-mers, so its pull starts after ~1/P of the compact work.
-    N_PARTS = 4
-    # Below this many raw k-mers the monolithic collapse is cheap enough
-    # that per-part sync latency isn't worth it.
-    PARTS_MIN = 4 << 20
-
-    def _finalize_parts(self, ci: int, cs: int, n_chunks: int, P: int,
-                        size: int):
-        """Sort the raw tier once (duplicates kept), then compact + stat +
-        pack each of the P position-parts in sequence: part 0's transfer
-        rows are in flight while parts 1..P-1 are still compacting.
-        Duplicate runs straddling a part seam produce one local entry per
-        part; _merge_seams combines them on decode and the sizing stats are
-        corrected here from the per-part seam scalars."""
-        s = _sort_tier(self.raw)
-        self.raw = []
-        self.raw_elems = 0
-        Q = size // P
-        metas = []
-        for p in range(P):
-            uniq, counts, nu = _part_compact(s, p, Q)
-            nu_i = int(nu)  # device sync; earlier parts' pulls are in flight
-            if nu_i == 0:
-                continue  # sentinels sort last: later parts are empty too
-            shrunk = _next_pow2(nu_i)
-            if shrunk < Q:
-                uniq, counts = uniq[:shrunk], counts[:shrunk]
-            meta = self._pack_run(uniq, counts, ci, cs,
-                                  max(2, n_chunks // P))
-            if meta is not None:
-                metas.append(meta)
-        if not metas:
-            return 0, np.zeros(3, dtype=np.int64), iter(())
-        total = sum(m["total"] for m in metas)
-        hist = np.sum([m["hist"] for m in metas], axis=0)
-        # correct stats for seam-straddling k-mers: a k-mer split across
-        # parts was counted once per part with its local count; it must
-        # count once with the combined count
-        for _, cl in _seam_groups(metas):
-            comb = sum(cl)
-            total += int(comb >= ci) - sum(int(x >= ci) for x in cl)
-            for i in range(3):
-                hist[i] += int(comb == ci + i) - sum(
-                    int(x == ci + i) for x in cl)
-        return total, hist, _merge_seams(metas, ci, cs)
+        return meta["total"], meta["hist"], _decode_filter(meta, ci)

@@ -134,7 +134,12 @@ def _ladder(codes: jnp.ndarray, valid: jnp.ndarray, k: int, interpret: bool):
     kmers = (hi[:, :W].astype(jnp.uint64) << jnp.uint64(32)) | lo[:, :W].astype(
         jnp.uint64
     )
-    n_valid = jnp.sum(hi[:, :W] != jnp.uint32(SENTINEL32), dtype=jnp.int64)
+    # validity from the FULL 64-bit sentinel: for k=32 the valid canonical
+    # k-mer T^16 A^16 has hi == 0xFFFFFFFF with lo == 0 (ADVICE r1)
+    n_valid = jnp.sum(
+        (hi[:, :W] != jnp.uint32(SENTINEL32)) | (lo[:, :W] != jnp.uint32(SENTINEL32)),
+        dtype=jnp.int64,
+    )
     return kmers.reshape(-1), n_valid
 
 

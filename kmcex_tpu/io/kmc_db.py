@@ -12,11 +12,19 @@ engine a drop-in replacement for the external ``kmc`` binary the reference
 shells out to (main.cpp:137-140): anything that consumes a KMC1 DB — the
 reference kmcEx included — can read our output.
 
+Listings stream the suffix file in bounded chunks (the reference reads 32MB
+windows, kmc_file.cpp:18,605-609) so genome-scale databases never need to
+fit in host RAM; random access reads only the queried buckets' byte ranges.
+
 Quake mode (mode=1, float counters) follows the vendored API semantics
-exactly: the [min_count, max_count] filter applies to the counter's RAW
-uint32 bit pattern (the float variant of ReadNextKmer just memcpy's the
-already-filtered integer counter, kmc_file.cpp:408-420), and float listings/
-lookups reinterpret the same bits.
+exactly, quirks included:
+  * listing (ReadNextKmer float overload, kmc_file.cpp:495-512): a record is
+    returned iff its counter-as-float is in [min_count, max_count] OR —
+    because the `continue` re-evaluates the integer do/while condition —
+    its RAW uint32 bit pattern is in range;
+  * random access (BinarySearch, kmc_file.cpp:1425-1433): a found record
+    counts as a hit iff its counter-AS-FLOAT is in [min_count, max_count]
+    (integer bounds compared as float).
 
 Restrictions vs the vendored API: k <= 32 (one uint64 per k-mer; the
 reference CLI defaults to k=31 and its own uint64 utilities cap at 32).
@@ -75,6 +83,37 @@ class KMCReader:
         self.sufix_size = (self.kmer_length - self.lut_prefix_length) // 4
         self.sufix_rec_size = self.sufix_size + self.counter_size
         self._decoded: tuple[np.ndarray, np.ndarray] | None = None
+        self._raw_suf: tuple[np.ndarray, np.ndarray] | None = None
+
+    # random-access decode cache limit: below this .kmc_suf size the whole
+    # suffix table is decoded once and binary-searched in RAM; above it,
+    # lookups seek/read only the queried buckets.
+    RA_CACHE_BYTES = 256 << 20
+
+    def _raw_suffixes(self) -> tuple[np.ndarray, np.ndarray]:
+        """UNFILTERED (suffix u64, raw u32 counter) arrays aligned with
+        record indices (what BinarySearch walks); cached for small DBs."""
+        if self._raw_suf is None:
+            suf_bits = _U64(2 * 4 * self.sufix_size)
+            parts_s, parts_c = [], []
+            rec = self.sufix_rec_size
+            with open(self.path + ".kmc_suf", "rb") as f:
+                if f.read(4) != _MARKER_SUF:
+                    raise ValueError(f"{self.path}.kmc_suf: bad KMCS marker")
+                r0 = 0
+                step = max(1, (1 << 25) // rec)
+                while r0 < self.total_kmers:
+                    r1 = min(r0 + step, self.total_kmers)
+                    body = np.frombuffer(f.read((r1 - r0) * rec), dtype=np.uint8)
+                    k_, c_ = self._decode_range(body, r0, r1)
+                    parts_s.append(k_ & ((_U64(1) << suf_bits) - _U64(1)))
+                    parts_c.append(c_)
+                    r0 = r1
+            if parts_s:
+                self._raw_suf = (np.concatenate(parts_s), np.concatenate(parts_c))
+            else:
+                self._raw_suf = (np.zeros(0, _U64), np.zeros(0, np.uint32))
+        return self._raw_suf
 
     # -- header parsing ------------------------------------------------------
     def _parse_kmc1(self, pre: bytes) -> None:
@@ -125,109 +164,189 @@ class KMCReader:
             pre, dtype="<u4", count=sig_map_size, offset=4 + lut_area + 8
         ).copy()
 
-    # -- listing -------------------------------------------------------------
-    def list_all(self) -> tuple[np.ndarray, np.ndarray]:
-        """Decode the entire listing: (kmers u64 [n], counts u32 [n]) in
-        database storage order, filtered to [min_count, max_count]
-        (kmc_file.cpp:428-515)."""
-        if self._decoded is not None:
-            return self._decoded
-        suf = np.fromfile(self.path + ".kmc_suf", dtype=np.uint8)
-        if suf[:4].tobytes() != _MARKER_SUF or suf[-4:].tobytes() != _MARKER_SUF:
-            raise ValueError(f"{self.path}.kmc_suf: bad KMCS markers")
-        total = self.total_kmers
-        rec = self.sufix_rec_size
-        body = suf[4 : 4 + total * rec].reshape(total, rec) if total else np.zeros((0, rec), np.uint8)
+    # -- decode helpers --------------------------------------------------------
+    def _bounds(self) -> np.ndarray:
+        """Monotone record-index boundaries per LUT slot (slot i holds
+        records [bounds[i], bounds[i+1]))."""
+        if getattr(self, "_bounds_cache", None) is None:
+            lut = self._lut if self.kmc_version == 0 else self._lut[:-1]
+            b = np.append(lut, self.total_kmers).astype(np.int64)
+            self._bounds_cache = np.maximum.accumulate(b)
+        return self._bounds_cache
 
+    def _decode_range(self, body: np.ndarray, r0: int, r1: int
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode raw record bytes for records [r0, r1) -> (kmers u64, raw
+        u32 counters), unfiltered, in storage order.  ``body`` is the byte
+        block covering exactly those records."""
+        n = r1 - r0
+        rec = self.sufix_rec_size
+        body = body.reshape(n, rec) if n else np.zeros((0, rec), np.uint8)
         # suffix bytes are MSB-first base pairs; accumulate big-endian.
-        suffix = np.zeros(total, dtype=_U64)
+        suffix = np.zeros(n, dtype=_U64)
         for j in range(self.sufix_size):
             suffix = (suffix << _U64(8)) | body[:, j].astype(_U64)
         # counter bytes little-endian (kmc_file.cpp:481-494)
-        counts = np.zeros(total, dtype=np.uint32)
+        counts = np.zeros(n, dtype=np.uint32)
         for b in range(self.counter_size - 1, -1, -1):
             counts = (counts << np.uint32(8)) | body[:, self.sufix_size + b].astype(np.uint32)
-
-        # prefix per record from the (flat) LUT: record r in slot i where
-        # lut[i] <= r < lut[i+1]; KMC2 masks the slot to the per-bin prefix
-        # (kmc_file.cpp:430,447-449).
-        if self.kmc_version == 0:
-            lut = self._lut
-            bounds = np.append(lut, total).astype(np.int64)
-        else:
-            lut = self._lut[:-1]
-            bounds = np.append(lut, total).astype(np.int64)
-        bounds = np.maximum.accumulate(bounds)
-        reps = np.diff(bounds)
-        # slots' k-mer prefix codes
-        slot_ids = np.arange(len(lut), dtype=np.int64)
+        # prefix per record from the LUT boundaries: record r is in slot i
+        # where bounds[i] <= r < bounds[i+1]; KMC2 masks the slot index to
+        # the per-bin prefix (kmc_file.cpp:430,447-449).
+        bounds = self._bounds()
+        slots = np.searchsorted(bounds, np.arange(r0, r1), side="right") - 1
+        slots = np.clip(slots, 0, max(len(bounds) - 2, 0))
         prefix_mask = (1 << (2 * self.lut_prefix_length)) - 1
-        slot_prefix = (slot_ids & prefix_mask).astype(_U64)
-        prefixes = np.repeat(slot_prefix, reps[: len(lut)])
-        if len(prefixes) < total:  # records past the last boundary
-            pad = np.full(total - len(prefixes), slot_prefix[-1] if len(lut) else 0, dtype=_U64)
-            prefixes = np.concatenate([prefixes, pad])
-        prefixes = prefixes[:total]
-
+        prefixes = (slots & prefix_mask).astype(_U64)
         kmers = (prefixes << _U64(2 * 4 * self.sufix_size)) | suffix
-        # min/max filter on the raw uint32 counter even in quake mode — the
-        # reference's float ReadNextKmer wraps the already-filtered integer
-        # path and just memcpy's the bits (kmc_file.cpp:408-420).
-        keep = (counts >= self.min_count) & (counts <= self.max_count)
-        kept = counts[keep].astype(np.uint32)
-        if self.mode == 1:
-            kept = kept.view(np.float32)
-        self._decoded = (kmers[keep], kept)
+        return kmers, counts
+
+    def _keep_mask_listing(self, counts: np.ndarray) -> np.ndarray:
+        """ReadNextKmer's record filter.  mode 0: integer [min, max].
+        mode 1 (quake): float-in-range OR raw-bits-in-range — the float
+        overload's `continue` falls through to the integer do/while
+        condition (kmc_file.cpp:495-512)."""
+        int_ok = (counts >= self.min_count) & (counts <= self.max_count)
+        if self.mode != 1:
+            return int_ok
+        f = counts.view(np.float32)
+        float_ok = (f >= np.float32(self.min_count)) & (f <= np.float32(self.max_count))
+        return float_ok | int_ok
+
+    # -- listing -------------------------------------------------------------
+    def list_chunks(self, chunk_bytes: int = 1 << 25):
+        """Stream the listing in storage order as (kmers u64, counts) chunks
+        with bounded memory — the streaming analogue of the reference's 32MB
+        suffix windows (kmc_file.cpp:18,605-609).  Counts are uint32, or
+        float32 bit-reinterpreted for quake databases."""
+        rec = self.sufix_rec_size
+        recs_per_chunk = max(1, chunk_bytes // rec)
+        with open(self.path + ".kmc_suf", "rb") as f:
+            if f.read(4) != _MARKER_SUF:
+                raise ValueError(f"{self.path}.kmc_suf: bad KMCS marker")
+            r0 = 0
+            while r0 < self.total_kmers:
+                r1 = min(r0 + recs_per_chunk, self.total_kmers)
+                body = np.frombuffer(f.read((r1 - r0) * rec), dtype=np.uint8)
+                if len(body) != (r1 - r0) * rec:
+                    raise ValueError(f"{self.path}.kmc_suf: truncated")
+                kmers, counts = self._decode_range(body, r0, r1)
+                keep = self._keep_mask_listing(counts)
+                kept = counts[keep]
+                if self.mode == 1:
+                    kept = kept.view(np.float32)
+                yield kmers[keep], kept
+                r0 = r1
+
+    def list_all(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the entire listing: (kmers u64 [n], counts [n]) in database
+        storage order, filtered like ReadNextKmer (kmc_file.cpp:428-515).
+        Materializes the whole table — use list_chunks for big databases."""
+        if self._decoded is not None:
+            return self._decoded
+        parts = list(self.list_chunks())
+        if parts:
+            kmers = np.concatenate([p[0] for p in parts])
+            counts = np.concatenate([p[1] for p in parts])
+        else:
+            kmers = np.zeros(0, _U64)
+            counts = np.zeros(0, np.float32 if self.mode == 1 else np.uint32)
+        self._decoded = (kmers, counts)
         return self._decoded
 
     # -- random access (CheckKmer, kmc_file.cpp:320-397) ----------------------
-    def check_kmers(self, kmers_u64: np.ndarray) -> np.ndarray:
-        """Batched CheckKmer: exact counts for canonical k-mers, 0 if absent
-        (float32 counters for quake-mode databases, like the vendored float
-        CheckKmer overload).  Callers canonicalize (the vendored API leaves
-        that to the caller too)."""
-        kmers = np.asarray(kmers_u64, dtype=_U64)
+    def _query_ranges(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Record ranges [lo, hi) per query k-mer from the prefix LUT
+        (KMC2: signature-mapped bins first, kmc_file.cpp:358-396)."""
         suf_bits = _U64(2 * 4 * self.sufix_size)
         prefixes = (kmers >> suf_bits).astype(np.int64)
-        suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
-
         if self.kmc_version == 0:
             lut = self._lut
             lo = lut[prefixes].astype(np.int64)
-            hi_src = np.append(lut, self.total_kmers)[prefixes + 1].astype(np.int64)
+            hi = np.append(lut, self.total_kmers)[prefixes + 1].astype(np.int64)
         else:
             sigs = sig_mod.signatures(kmers, self.kmer_length, self.signature_len)
             bin_start = self.signature_map[sigs].astype(np.int64) * self.single_lut_size
             lo = self._lut[bin_start + prefixes].astype(np.int64)
-            hi_src = self._lut[bin_start + prefixes + 1].astype(np.int64)
-        hi = hi_src
+            hi = self._lut[bin_start + prefixes + 1].astype(np.int64)
+        return lo, np.minimum(hi, self.total_kmers)
 
-        # Need suffixes sorted within [lo, hi): they are, by format. Use the
-        # decoded suffix array for the search.
-        all_kmers, all_counts = self.list_all()
-        suffix_sorted = all_kmers & ((_U64(1) << suf_bits) - _U64(1))
+    def check_kmers(self, kmers_u64: np.ndarray) -> np.ndarray:
+        """Batched CheckKmer: exact counts for canonical k-mers, 0 if absent
+        (float32 counters for quake-mode databases, like the vendored float
+        CheckKmer overload).  Callers canonicalize (the vendored API leaves
+        that to the caller too).
 
-        out = np.zeros(len(kmers), dtype=all_counts.dtype)
-        # per-query binary search (vectorized via searchsorted on slices is
-        # awkward; do a masked loop over log2 range instead)
-        lo_i = lo.copy()
-        hi_i = hi.copy()  # exclusive
-        # classic vectorized binary search
-        for _ in range(64):
-            active = lo_i < hi_i
-            if not active.any():
-                break
-            mid = (lo_i + hi_i) // 2
-            mid_c = np.clip(mid, 0, len(suffix_sorted) - 1)
-            mv = suffix_sorted[mid_c]
-            go_right = active & (mv < suffixes)
-            lo_i = np.where(go_right, mid + 1, lo_i)
-            hi_i = np.where(active & ~go_right, mid, hi_i)
-        found = (lo_i < hi) & (lo_i >= 0) & (lo_i < len(suffix_sorted))
-        pos = np.clip(lo_i, 0, max(len(suffix_sorted) - 1, 0))
-        if len(suffix_sorted):
-            found &= suffix_sorted[pos] == suffixes
-            out[found] = all_counts[pos[found]]
+        Matches BinarySearch exactly (kmc_file.cpp:1358-1437): only the
+        queried buckets' byte ranges are read from disk (no full decode),
+        and a found record is a hit only if its counter passes the
+        [min_count, max_count] filter — compared AS FLOAT for quake
+        databases (kmc_file.cpp:1425-1433), never the raw bits."""
+        kmers = np.asarray(kmers_u64, dtype=_U64)
+        out_dtype = np.float32 if self.mode == 1 else np.uint32
+        out = np.zeros(len(kmers), dtype=out_dtype)
+        if not len(kmers) or not self.total_kmers:
+            return out
+        suf_bits = _U64(2 * 4 * self.sufix_size)
+        suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
+        lo, hi = self._query_ranges(kmers)
+        found = np.zeros(len(kmers), dtype=bool)
+        counters = np.zeros(len(kmers), dtype=np.uint32)
+
+        if self.total_kmers * self.sufix_rec_size <= self.RA_CACHE_BYTES:
+            # small DB: vectorized binary search over one raw in-RAM decode
+            bsuf, bcounts = self._raw_suffixes()
+            lo_i, hi_i = lo.copy(), hi.copy()  # hi exclusive
+            while True:
+                active = lo_i < hi_i
+                if not active.any():
+                    break
+                mid = (lo_i + hi_i) // 2
+                mv = bsuf[np.clip(mid, 0, len(bsuf) - 1)]
+                go_right = active & (mv < suffixes)
+                lo_i = np.where(go_right, mid + 1, lo_i)
+                hi_i = np.where(active & ~go_right, mid, hi_i)
+            ok = (lo_i < hi) & (lo_i < len(bsuf))
+            pos = np.clip(lo_i, 0, max(len(bsuf) - 1, 0))
+            ok &= bsuf[pos] == suffixes
+            found, counters[ok] = ok, bcounts[pos[ok]]
+        else:
+            # big DB: read only the queried buckets' byte ranges, coalescing
+            # overlapping/adjacent ranges into one seek+read each
+            order = np.argsort(lo, kind="stable")
+            rec = self.sufix_rec_size
+            with open(self.path + ".kmc_suf", "rb") as f:
+                i = 0
+                while i < len(order):
+                    qi = order[i]
+                    r0, r1 = int(lo[qi]), int(hi[qi])
+                    group = [qi]
+                    i += 1
+                    while i < len(order) and int(lo[order[i]]) <= r1:
+                        r1 = max(r1, int(hi[order[i]]))
+                        group.append(order[i])
+                        i += 1
+                    if r1 <= r0:
+                        continue
+                    f.seek(4 + r0 * rec)
+                    body = np.frombuffer(f.read((r1 - r0) * rec), dtype=np.uint8)
+                    bkmers, bcounts = self._decode_range(body, r0, r1)
+                    bsuf = bkmers & ((_U64(1) << suf_bits) - _U64(1))
+                    for qj in group:
+                        a, b = int(lo[qj]) - r0, int(hi[qj]) - r0
+                        p = a + int(np.searchsorted(bsuf[a:b], suffixes[qj]))
+                        if p < b and bsuf[p] == suffixes[qj]:
+                            found[qj] = True
+                            counters[qj] = bcounts[p]
+        # BinarySearch's count filter on hits (kmc_file.cpp:1425-1433)
+        if self.mode == 1:
+            fval = counters.view(np.float32)
+            ok = found & (fval >= np.float32(self.min_count)) & (
+                fval <= np.float32(self.max_count))
+            out[ok] = fval[ok]
+        else:
+            ok = found & (counters >= self.min_count) & (counters <= self.max_count)
+            out[ok] = counters[ok]
         return out
 
 

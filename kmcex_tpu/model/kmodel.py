@@ -126,7 +126,13 @@ class KModel:
 
     def init(self, db_path: str) -> None:
         """Build from a KMC database on disk (reference KModel::init,
-        kmodel.hpp:57-86); listing order is the database's storage order."""
+        kmodel.hpp:57-86); listing order is the database's storage order.
+
+        Streams the database in bounded chunks, twice — exactly the
+        reference's two passes (get_km_kmer_count then the encode loop,
+        kmodel.hpp:57-86) — so host memory stays flat for genome-scale
+        databases (the reference reads 32MB suffix windows,
+        kmc_file.cpp:18,605-609)."""
         from kmcex_tpu.io import kmc_db
 
         db = kmc_db.KMCReader(db_path)
@@ -134,8 +140,15 @@ class KModel:
             # The reference feeds quake float bits straight into its integer
             # encode path (garbage); reject instead of building a broken model.
             raise ValueError("KModel requires an integer-counter (mode 0) database")
-        kmers, counts = db.list_all()
-        self.init_from_pairs(kmers, counts, db.kmer_length)
+        # Pass 1 (kmodel.hpp:423-434): totals + low-counter histogram.
+        total = 0
+        low_hist = np.zeros(3, dtype=np.uint64)
+        for _, counts in db.list_chunks():
+            total += len(counts)
+            for i in range(self.bf_num):
+                low_hist[i] += np.count_nonzero(counts == self.ci + i)
+        # Pass 2: stream the listing through the encoder.
+        self.init_from_chunks(db.list_chunks(), db.kmer_length, total, low_hist)
 
     def _init_km_parameter(self, km_kmercount: int) -> None:
         # kmodel.hpp:436-456.  (km_kmercount>>4) is clamped to >=1: the
@@ -152,22 +165,29 @@ class KModel:
         self.km_back = np.zeros(self.byte_km_back, dtype=np.uint8)
 
     # ------------------------------------------------------------------ query
-    def kmer_to_occ(self, kmer, t_num: int = 4):
+    def kmer_to_occ(self, kmer, t_num: int | None = None):
         """Approximate count lookup.  Accepts one k-mer string, a list of
         strings (reference batch API, kmodel.hpp:90-98), or a packed uint64
-        array (fast path).  ``t_num`` sets the native probe thread count,
-        like the reference's OMP fan-out."""
+        array (fast path).  ``t_num``, when given, sets the native probe
+        thread count for THIS call only (like the reference's per-call OMP
+        fan-out); None keeps whatever the process configured."""
         from kmcex_tpu import native
 
-        native.set_num_threads(t_num)
-        if isinstance(kmer, str):
-            return int(self.kmer_to_occ_u64(np.array([codec.string_to_u64(kmer)], dtype=_U64))[0])
-        if isinstance(kmer, (list, tuple)):
-            if not kmer:
-                return []
-            packed = codec.strings_to_u64(list(kmer), self.kmer_length).astype(_U64)
-            return [int(x) for x in self.kmer_to_occ_u64(packed)]
-        return self.kmer_to_occ_u64(np.asarray(kmer, dtype=_U64))
+        prev = native._n_threads_override
+        if t_num is not None:
+            native.set_num_threads(t_num)
+        try:
+            if isinstance(kmer, str):
+                return int(self.kmer_to_occ_u64(np.array([codec.string_to_u64(kmer)], dtype=_U64))[0])
+            if isinstance(kmer, (list, tuple)):
+                if not kmer:
+                    return []
+                packed = codec.strings_to_u64(list(kmer), self.kmer_length).astype(_U64)
+                return [int(x) for x in self.kmer_to_occ_u64(packed)]
+            return self.kmer_to_occ_u64(np.asarray(kmer, dtype=_U64))
+        finally:
+            if t_num is not None:
+                native.set_num_threads(prev)
 
     def kmer_to_occ_u64(self, kmers: np.ndarray) -> np.ndarray:
         """Batched host query with exact reference semantics

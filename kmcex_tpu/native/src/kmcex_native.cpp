@@ -319,8 +319,17 @@ inline bool insert_to_array_pos(const uint64_t* pos, uint32_t bin,
 // In-bucket compaction between rounds (kmodel.hpp:529-540): move survivors
 // from the tail into freed slots; NOT order-preserving, and later rounds (and
 // the rest-store hand-off) see this order, so it must match exactly.
+//
+// Reference quirk that parity requires: with n == 0 the loop body never runs
+// and the return still reads a[0].occ — so an EMPTY bucket in the tail flush
+// (buff_num zeroed by push_last_to_array, kmodel.hpp:520-527) RESURRECTS its
+// slot-0 survivor left over from the previous full flush (survivors stay in
+// place with occ != 0 after the hand-off), retries it every round, and —
+// since a k-mer that failed all arrays keeps failing (bits are never
+// cleared) — pushes it to the rest store a SECOND time.  Buckets that were
+// never written read occ == 0 (the reference's fresh heap pages are zeroed;
+// our slots are value-initialized) and stay empty.
 inline int64_t reorder_buffer(KmerBuf* a, int64_t n) {
-  if (n == 0) return 0;
   int64_t il = 0, ir = n - 1;
   while (il < ir) {
     while (il < ir && !a[ir].occ) ir--;

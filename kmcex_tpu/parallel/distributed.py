@@ -1,0 +1,135 @@
+"""Multi-host distributed runtime: process-spanning meshes for pod slices.
+
+The reference is a single-process OpenMP tool (SURVEY.md §2 parallelism
+inventory); genome-scale targets (BASELINE config 5: NA12878 31-mers on a
+multi-host pod slice) need the count table sharded across hosts.  This
+module is the startup + mesh layer for that: ``jax.distributed`` brings up
+the cross-process runtime, the mesh spans every device of every process,
+and the counting step (parallel/sharded.py) runs unchanged under
+``shard_map`` — XLA routes the ``all_to_all`` over ICI within a host/slice
+and DCN across hosts.
+
+Data flow per process (host):
+  * each host reads ITS OWN slice of the input files (``host_slice`` picks
+    round-robin file ownership from an @list; a single big file is split by
+    byte ranges at read-record boundaries upstream),
+  * local extract/canonicalize on the host's devices (data parallel),
+  * k-mers route to owner shards by hash via all_to_all (ICI + DCN),
+  * per-shard sorted count tables stay sharded; ``psum`` gives global stats.
+
+Runs identically on real pods and on N spawned CPU processes with
+``--xla_force_host_platform_device_count`` (how tests/test_distributed.py
+exercises the cross-process code path without TPU hardware).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None,
+               local_device_ids=None) -> None:
+    """Bring up the cross-process JAX runtime.
+
+    On TPU pods with standard env (TPU_WORKER_HOSTNAMES etc.) all arguments
+    auto-detect; for manual/CPU bring-up pass them explicitly or via
+    KMCEX_COORDINATOR / KMCEX_NUM_PROCESSES / KMCEX_PROCESS_ID.  Safe to call
+    twice (second call is a no-op).  Must run before anything initialises
+    the XLA backend (jax.devices / any computation)."""
+    if getattr(initialize, "_done", False):
+        return
+    coordinator_address = coordinator_address or os.environ.get("KMCEX_COORDINATOR")
+    if num_processes is None and "KMCEX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["KMCEX_NUM_PROCESSES"])
+    if process_id is None and "KMCEX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["KMCEX_PROCESS_ID"])
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
+    initialize._done = True
+
+
+def global_mesh(axis: str = "shard") -> Mesh:
+    """1-D mesh over every device of every process, in (process, local)
+    order so consecutive shards sit on the same host when possible (keeps
+    most all_to_all traffic on ICI, only the host-crossing remainder on
+    DCN)."""
+    return Mesh(np.array(jax.devices()), axis_names=(axis,))
+
+
+def host_slice(paths: list[str]) -> list[str]:
+    """Round-robin ownership of input files for this process — each host
+    parses only its own slice (data parallelism over reads, SURVEY.md §5)."""
+    pid, n = jax.process_index(), jax.process_count()
+    return [p for i, p in enumerate(paths) if i % n == pid]
+
+
+def process_local_batch(mesh: Mesh, codes: np.ndarray):
+    """Wrap this process's local batch rows as a globally sharded array.
+
+    ``codes`` is the [local_rows, seg_len] block this host parsed; the
+    returned jax.Array is the concatenation over processes, sharded along
+    the mesh axis, suitable for the sharded count step.  local_rows must be
+    a multiple of the local device count."""
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.make_array_from_process_local_data(sharding, codes)
+
+
+def distributed_count_fastq(input_spec: str, k: int, ci: int = 1,
+                            cs: int = 1023, seg_len: int = 256,
+                            batch_segs: int = 4096):
+    """Multi-host counting driver: each process streams its file slice,
+    batches are globally sharded, and the hash-routed sharded accumulator
+    (parallel/sharded.py) counts across all devices of all processes.
+
+    Returns host-side (kmers, counts) — identical on every process (the
+    per-shard tables are gathered; fine for model-building, which every
+    host replicates).  For tables too large to gather, consume
+    ``ShardedCountAccumulator.finalize_stream`` per shard instead."""
+    from kmcex_tpu.io import fastq
+    from kmcex_tpu.parallel.sharded import ShardedCountAccumulator
+
+    mesh = global_mesh()
+    n = mesh.devices.size
+    paths = host_slice(fastq.resolve_inputs(input_spec))
+    # Global batch = batch_segs rows per device; each process contributes
+    # rows for ITS devices only.
+    local_dev = jax.local_device_count()
+    local_rows = batch_segs * local_dev
+    acc = ShardedCountAccumulator(mesh, k, batch_segs, seg_len)
+    buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+    fill = 0
+    reads = bases = 0
+    for path in paths:
+        stream = fastq.SegmentStream(path, k, seg_len, local_rows,
+                                     use_native=True, packed=False)
+        for batch in stream:
+            take = min(local_rows - fill, len(batch))
+            buf[fill:fill + take] = batch[:take]
+            fill += take
+            if fill == local_rows:
+                acc.add_batch(process_local_batch(mesh, buf))
+                buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+                fill = 0
+            if take < len(batch):
+                rem = batch[take:]
+                buf[: len(rem)] = rem
+                fill = len(rem)
+        reads += stream.reads
+        bases += stream.bases
+    if fill or not paths:
+        acc.add_batch(process_local_batch(mesh, buf))
+    return acc.finalize(ci, cs)

@@ -36,6 +36,12 @@ class ShardedKModelServer(DeviceKModel):
             in_sharding=NamedSharding(mesh, P("shard")),  # queries: sharded
         )
         if tile:
+            if tile % n:
+                raise ValueError(
+                    f"tile={tile} must be a multiple of the mesh size {n} "
+                    "(full tiles shard over the batch axis; only short tails "
+                    "are padded)"
+                )
             self.TILE = tile
 
 

@@ -162,6 +162,13 @@ class ShardedCountAccumulator:
         if not self.runs:
             return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
         u, c, _ = self.runs[0]
+        if jax.process_count() > 1:
+            # per-shard partitions live on remote hosts too: gather the
+            # global value to every process (model building replicates).
+            from jax.experimental import multihost_utils
+
+            u = multihost_utils.process_allgather(u, tiled=True)
+            c = multihost_utils.process_allgather(c, tiled=True)
         ku = np.asarray(u).reshape(-1)
         kc = np.asarray(c).reshape(-1).astype(np.uint32)
         real = (ku != np.uint64(0xFFFFFFFFFFFFFFFF)) & (kc >= ci)

@@ -182,17 +182,16 @@ def test_bitpack_transfer_roundtrip():
         ku[:n_real] = kmers
         kc[:n_real] = counts
         u, c = jnp.asarray(ku), jnp.asarray(kc)
-        (total, hist, nr, row_gap, row_cnt,
-         first, first_c, last_k, last_c) = _final_stats(
-            u, c, np.uint32(1), n_chunks)
-        assert int(first_c) == int(counts[0])
-        assert int(last_k) == int(kmers[-1])
-        assert int(last_c) == int(counts[-1])
-        assert int(nr) == n_real
-        row_gap = np.asarray(row_gap)
-        row_cnt = np.minimum(np.asarray(row_cnt), np.uint32(cs))
+        flat = np.asarray(_final_stats(u, c, np.uint32(1), n_chunks))
+        assert int(flat[6]) == int(counts[0])   # first count
+        assert int(flat[7]) == int(kmers[-1])   # last k-mer
+        assert int(flat[8]) == int(counts[-1])  # last count
+        assert int(flat[4]) == n_real
+        row_gap = flat[9 : 9 + n_chunks]
+        row_cnt = np.minimum(flat[9 + n_chunks : 9 + 2 * n_chunks],
+                             np.uint64(cs))
         m = size // n_chunks
-        base = np.uint64(int(first))
+        base = np.uint64(int(flat[5]))
         got_k, got_c = [], []
         for i in range(n_chunks):
             if i * m >= n_real:
@@ -211,10 +210,11 @@ def test_bitpack_transfer_roundtrip():
             np.concatenate(got_c), np.minimum(counts, np.uint32(cs)))
 
 
-def test_parts_finalize_with_seam_straddles():
-    """The position-parts finalize (sorted tier compacted per part with
-    host-side seam merging) must equal a brute-force unique/count, including
-    duplicate runs spanning 2+ part seams, across ci/cs settings."""
+def test_fused_finalize_stream():
+    """The fused single-dispatch finalize (sort + compact + stats in one
+    device program, multi-row bit-packed decode) must equal a brute-force
+    unique/count, including long duplicate runs spanning row boundaries,
+    across ci/cs settings."""
     import jax.numpy as jnp
 
     from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
@@ -224,7 +224,7 @@ def test_parts_finalize_with_seam_straddles():
     for trial in range(6):
         size = 256
         # heavy duplication: few distinct values, with one value repeated
-        # enough to span multiple parts when sorted
+        # enough to span multiple transfer rows when sorted
         vals = rng.integers(1, 25, size=size - 40, dtype=np.uint64) * 977
         vals = np.concatenate([
             vals,
@@ -234,8 +234,6 @@ def test_parts_finalize_with_seam_straddles():
         rng.shuffle(vals)
         for ci, cs in [(1, 1023), (2, 255), (3, 7)]:
             acc = DeviceCountAccumulator(k=31)
-            acc.PARTS_MIN = 1
-            acc.N_PARTS = 8
             for chunk in np.array_split(vals, 4):
                 acc.raw.append(jnp.asarray(chunk))
                 acc.raw_elems += len(chunk)

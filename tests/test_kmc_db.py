@@ -66,8 +66,9 @@ def test_check_kmers(tmp_path):
 
 
 def test_quake_mode_roundtrip(tmp_path):
-    """mode=1 stores float32 counters as raw IEEE bits (kmc_file.cpp:408-420);
-    the listing filter applies to the bit pattern, not the float value."""
+    """mode=1 stores float32 counters as raw IEEE bits (kmc_file.cpp:408-420).
+    Random access (BinarySearch, kmc_file.cpp:1425-1433) filters hits on the
+    counter AS FLOAT against [min_count, max_count]."""
     can, _ = _pairs(3, 3000, 31)
     rng = np.random.default_rng(3)
     fcounts = (rng.random(len(can)) * 100).astype(np.float32) + np.float32(0.5)
@@ -80,15 +81,77 @@ def test_quake_mode_roundtrip(tmp_path):
     assert cts.dtype == np.float32
     np.testing.assert_array_equal(kmers, can)
     np.testing.assert_array_equal(cts, fcounts)
-    # random access returns float counters too
+    # random access: float filter — counters in [0.5, 1) are misses even
+    # though their raw bit pattern is a huge in-range integer (ADVICE r1)
     got = r.check_kmers(can[::7])
-    np.testing.assert_array_equal(got, fcounts[::7])
+    want = np.where(fcounts[::7] >= np.float32(1), fcounts[::7], np.float32(0))
+    np.testing.assert_array_equal(got, want)
     # the model layer must refuse quake databases (the reference would feed
     # float bits into its integer encode)
     from kmcex_tpu.model.kmodel import get_model
 
     with pytest.raises(ValueError):
         get_model(1, 1023, 7, 5).init(db)
+
+
+def test_quake_listing_or_quirk(tmp_path):
+    """ReadNextKmer's quake filter quirk (kmc_file.cpp:495-512): a record
+    lists iff float-in-range OR raw-bits-in-range (the float overload's
+    `continue` falls through to the integer do/while condition), while
+    BinarySearch uses the float comparison alone."""
+    can, _ = _pairs(6, 64, 31)
+    can = can[:3]
+    # [0]: float 2.5 in [1,1023], raw bits 0x40200000 out  -> listed, RA hit
+    # [1]: float 0.5 out, raw bits 0x3F000000 out          -> dropped, RA miss
+    # [2]: denormal float(raw=5): float out, raw 5 in      -> listed, RA miss
+    fcounts = np.array([2.5, 0.5, 0.0], dtype=np.float32)
+    fcounts[2] = np.uint32(5).view(np.float32)
+    db = str(tmp_path / "qdb2")
+    kmc_db.write_kmc1(db, can, fcounts, 31, min_count=1, max_count=1023, mode=1)
+    r = kmc_db.KMCReader(db)
+    kmers, cts = r.list_all()
+    np.testing.assert_array_equal(kmers, can[[0, 2]])
+    np.testing.assert_array_equal(cts, fcounts[[0, 2]])
+    got = r.check_kmers(can)
+    np.testing.assert_array_equal(
+        got, np.array([2.5, 0.0, 0.0], dtype=np.float32))
+
+
+def test_list_chunks_streaming_equals_list_all(tmp_path):
+    """Chunked streaming decode (bounded memory, 32MB-window analogue of
+    kmc_file.cpp:18,605-609) concatenates to exactly the full listing, for
+    any chunk size."""
+    can, counts = _pairs(13, 5000, 31)
+    db = str(tmp_path / "db")
+    kmc_db.write_kmc1(db, can, counts, 31, min_count=2, max_count=500)
+    r = kmc_db.KMCReader(db)
+    want_k, want_c = r.list_all()
+    for chunk_bytes in (1, 64, 4096):
+        parts = list(kmc_db.KMCReader(db).list_chunks(chunk_bytes=chunk_bytes))
+        got_k = np.concatenate([p[0] for p in parts])
+        got_c = np.concatenate([p[1] for p in parts])
+        np.testing.assert_array_equal(got_k, want_k)
+        np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_streaming_init_equals_in_memory_build(tmp_path):
+    """KModel.init streams the DB in bounded chunks; the resulting model
+    must be byte-identical to an in-memory init_from_pairs build."""
+    from kmcex_tpu.model.kmodel import get_model
+
+    can, counts = _pairs(17, 20000, 31)
+    db = str(tmp_path / "db")
+    kmc_db.write_kmc1(db, can, counts, 31, min_count=1, max_count=1023)
+
+    km_a = get_model(1, 1023, 7, 5)
+    km_a.init(db)
+    km_b = get_model(1, 1023, 7, 5)
+    km_b.init_from_pairs(can, counts.astype(np.uint32), 31)
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    km_a.save(a_dir)
+    km_b.save(b_dir)
+    for fn in ["header", "km.bin", "rest.bin"]:
+        assert (a_dir / fn).read_bytes() == (b_dir / fn).read_bytes(), fn
 
 
 def test_counter_size_rule():

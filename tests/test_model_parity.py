@@ -100,6 +100,50 @@ def test_model_byte_and_query_parity(ref_harness, tmp_path, seed, n, k, ci, cs, 
     assert np.array_equal(mine2, mine)
 
 
+@pytest.mark.slow
+def test_full_bucket_rotating_flush_parity(ref_harness, tmp_path):
+    """Byte parity THROUGH the feed-triggered rotating flush: the coupled
+    bit-array insertion buffer flushes only once n_bits * 2^18 (~1.31M)
+    array-bound k-mers accumulate (kmodel.hpp:508-527 / kx_encoder_feed),
+    running the full insert_with_thread rotation + reorder_buffer + rest
+    hand-off (kmodel.hpp:529-573).  Smaller parity cases never reach it;
+    this one pushes ~1.7M k-mers with counter >= ci+bf_num through both
+    encoders and asserts km.bin/rest.bin byte equality."""
+    k, ci, cs, nh, nb = 31, 1, 1023, 7, 5
+    rng = np.random.default_rng(42)
+    raw = rng.integers(0, 1 << 62, size=2_200_000, dtype=np.uint64)
+    mask = (np.uint64(1) << np.uint64(2 * k)) - np.uint64(1)
+    can = np.unique(codec.canonical_np(raw & mask, k))
+    assert len(can) > 1_900_000
+    # ~90% of counters >= ci + bf_num(=1) + 1 = 2 -> coupled arrays; the
+    # rest count 1 -> Bloom pair 0 (mixed routing like a real build)
+    counts = np.where(
+        rng.random(len(can)) < 0.9,
+        rng.integers(2, 200, size=len(can), dtype=np.uint64),
+        np.uint64(1),
+    )
+    n_array_bound = int(np.count_nonzero(counts >= ci + 1))
+    assert n_array_bound > 5 * (1 << 18) + 200_000  # well past one flush
+
+    db = str(tmp_path / "db")
+    kmc_db.write_kmc1(db, can, counts, k, min_count=ci, max_count=cs)
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    subprocess.run(
+        [ref_harness, "build", db, str(ref_dir), str(ci), str(cs), str(nh), str(nb)],
+        check=True, capture_output=True,
+    )
+
+    km = get_model(ci, cs, nh, nb)
+    km.init_from_pairs(can, counts.astype(np.uint32), k)
+    my_dir = tmp_path / "mine"
+    km.save(my_dir)
+    for fn in ["header", "km.bin", "rest.bin"]:
+        a = (ref_dir / fn).read_bytes()
+        b = (my_dir / fn).read_bytes()
+        assert a == b, f"{fn} differs ({len(a)} vs {len(b)} bytes)"
+
+
 def test_reference_reads_our_kmc1_db(ref_harness, tmp_path):
     can, counts, _ = _make_pairs(3, 30000, 31, 1, 1023)
     db = str(tmp_path / "db")
