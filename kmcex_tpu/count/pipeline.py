@@ -40,13 +40,15 @@ def count_fastq(
     seg_len: int | None = None,
     batch_segs: int = fastq.DEFAULT_BATCH_SEGS,
     accumulator: str = "device",
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, PipelineStats]:
-    """Count canonical k-mers in FASTQ/FASTA input (single chip).
+    """Count canonical k-mers in FASTQ/FASTA input.
 
     ``seg_len=None`` auto-sizes segments to the observed read length so no
     window slots are wasted on padding.  ``accumulator="device"`` keeps all
-    run merging in HBM (one host transfer total); "host" is the NumPy LSM.
-    """
+    run merging in HBM on one chip (one host transfer total); "sharded"
+    runs the hash-routed multi-chip accumulator over ``mesh`` (defaults to
+    all devices); "host" is the NumPy LSM."""
     t0 = time.time()
     if seg_len is None:
         sniffed = fastq.sniff_read_length(input_spec)
@@ -68,6 +70,25 @@ def count_fastq(
         for packed, maskbits in prefetch_iterator(
             parsed, depth=2, transform=jax.device_put
         ):
+            acc.add_batch_packed(packed, maskbits)
+    elif accumulator == "sharded":
+        import jax
+
+        from kmcex_tpu.parallel.sharded import ShardedCountAccumulator, make_mesh
+
+        if mesh is None:
+            mesh = make_mesh()
+        n = int(mesh.devices.size)
+        batch_segs = max(n, (batch_segs // n) * n)  # rows divide the mesh
+        stream = fastq.SegmentStream(input_spec, k, seg_len, batch_segs, packed=True)
+        acc = ShardedCountAccumulator(mesh, k, batch_segs // n, seg_len,
+                                      packed=True)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row_sharded = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        put = lambda t: jax.device_put(t, row_sharded)
+        parsed = prefetch_iterator(iter(stream), depth=2)
+        for packed, maskbits in prefetch_iterator(parsed, depth=2, transform=put):
             acc.add_batch_packed(packed, maskbits)
     else:
         stream = fastq.segment_batches(input_spec, k, seg_len, batch_segs)

@@ -7,6 +7,13 @@ multiplicative hash via ``all_to_all`` over ICI; each shard then
 sort-counts its partition.  The shard-local results together form the global
 count table (disjoint by construction), and ``psum`` provides global stats.
 
+Mirrors the single-chip DeviceCountAccumulator's tiering (count/device_lsm):
+routed k-mers buffer unsorted in a per-shard RAW TIER collapsed by one
+sort+segment-count pass, collapsed runs merge pairwise in a per-shard LSM,
+and runs past a spill threshold leave the device for host RAM where the
+native two-pointer merge folds them — so the global table never needs to
+fit on one chip (KMC's external-memory bins, rebuilt for a mesh).
+
 Runs identically on a real TPU slice or on a virtual
 ``--xla_force_host_platform_device_count`` CPU mesh (how tests and the
 driver's multi-chip dry run validate it).
@@ -45,60 +52,70 @@ def owner_of(kmers: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     )
 
 
-def build_sharded_count_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
-                             capacity: int | None = None):
-    """Returns a jitted step: codes [n_shards*seg_rows, seg_len] uint8 ->
-    (uniq [n_shards, M], counts [n_shards, M], n_unique [n_shards],
-    windows_total scalar), where row-blocks of codes are sharded over the
-    mesh and the outputs are shard-local count tables.
+def _route_local(kmers, n_valid, n: int, cap: int):
+    """Local half of the exchange: group local k-mers by owner shard into
+    [n, cap] send buffers (SENTINEL padding), then all_to_all."""
+    owner = owner_of(kmers, n)
+    order = jnp.argsort(owner)
+    kmers_s = kmers[order]
+    owner_s = owner[order]
+    group_start = jnp.searchsorted(owner_s, jnp.arange(n, dtype=jnp.int32))
+    slot = jnp.arange(kmers.shape[0]) - group_start[owner_s]
+    send = jnp.full((n, cap), extract.SENTINEL, dtype=jnp.uint64)
+    ok = slot < cap
+    send = send.at[owner_s, jnp.where(ok, slot, 0)].set(
+        jnp.where(ok, kmers_s, extract.SENTINEL)
+    )
+    recv = jax.lax.all_to_all(send, "shard", split_axis=0, concat_axis=0, tiled=True)
+    windows = jax.lax.psum(n_valid, "shard")
+    return recv.reshape(1, -1), windows
+
+
+def build_route_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
+                     capacity: int | None = None, packed: bool = False):
+    """Jitted routing step: one input batch -> per-shard RAW routed k-mers
+    ([n_shards, n*cap] sharded, SENTINEL-padded) + global window count.
+    No sorting here — raw tiers collapse later, amortizing the sort.
 
     ``capacity`` is the per-destination routing buffer (static shape for
-    all_to_all); defaults to the worst case (every local k-mer to one shard),
-    which is always exact.  Smaller values trade memory for an overflow that
-    drops k-mers (asserted against in tests), so the default stays exact.
-    """
+    all_to_all); defaults to the worst case (every local k-mer to one
+    shard), which is always exact.  ``packed`` selects the 2-bit transfer
+    format (io/fastq packed segment batches)."""
     n = mesh.devices.size
     W = seg_len - k + 1
-    local_kmers = seg_rows * W
-    cap = capacity or local_kmers
-    M = n * cap
+    cap = capacity or seg_rows * W
 
-    def local_step(codes):  # codes: [seg_rows, seg_len] per shard
-        kmers, n_valid = extract.extract_canonical(codes, k)  # [seg_rows*W]
-        owner = owner_of(kmers, n)
-        # sentinels route to shard of their hash; they sort to the tail and
-        # are dropped by sort_count_unique anyway.
-        order = jnp.argsort(owner)
-        kmers_s = kmers[order]
-        owner_s = owner[order]
-        # slot within destination group
-        group_start = jnp.searchsorted(owner_s, jnp.arange(n, dtype=jnp.int32))
-        slot = jnp.arange(kmers.shape[0]) - group_start[owner_s]
-        send = jnp.full((n, cap), extract.SENTINEL, dtype=jnp.uint64)
-        ok = slot < cap
-        send = send.at[owner_s, jnp.where(ok, slot, 0)].set(
-            jnp.where(ok, kmers_s, extract.SENTINEL)
-        )
-        # exchange: piece j -> shard j
-        recv = jax.lax.all_to_all(send, "shard", split_axis=0, concat_axis=0, tiled=True)
-        uniq, counts, n_unique = extract.sort_count_unique(recv.reshape(-1))
-        windows = jax.lax.psum(n_valid, "shard")
-        return (
-            uniq[None, :],
-            counts[None, :],
-            n_unique[None],
-            windows,
-        )
+    if packed:
+        def local_step(packed_b, maskbits):
+            kmers, n_valid = extract.extract_canonical_packed(packed_b, maskbits, k)
+            return _route_local(kmers, n_valid, n, cap)
 
-    step = jax.jit(
-        jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=P("shard"),
-            out_specs=(P("shard"), P("shard"), P("shard"), P()),
-        )
+        in_specs = (P("shard"), P("shard"))
+    else:
+        def local_step(codes):
+            kmers, n_valid = extract.extract_canonical(codes, k)
+            return _route_local(kmers, n_valid, n, cap)
+
+        in_specs = P("shard")
+    return jax.jit(
+        jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                      out_specs=(P("shard"), P()))
     )
-    return step
+
+
+def build_sharded_collapse(mesh: Mesh):
+    """Jitted per-shard collapse: concat a shard's raw arrays and
+    sort+segment-count them into a sorted unique run (no collectives —
+    partitions are disjoint by the owner hash)."""
+    def local(arrs):  # tuple of [1, R_i] local views
+        flat = jnp.concatenate([a.reshape(-1) for a in arrs])
+        u, c, nu = extract.sort_count_unique(flat)
+        return u[None, :], c[None, :], nu[None].astype(jnp.int64)
+
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=(P("shard"),),
+                      out_specs=(P("shard"), P("shard"), P("shard")))
+    )
 
 
 def build_sharded_merge(mesh: Mesh):
@@ -120,61 +137,176 @@ def build_sharded_merge(mesh: Mesh):
     )
 
 
+# back-compat alias: the one-shot routed count step used by older tests
+def build_sharded_count_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
+                             capacity: int | None = None):
+    """Returns a jitted step: codes [n_shards*seg_rows, seg_len] uint8 ->
+    (uniq [n_shards, M], counts [n_shards, M], n_unique [n_shards],
+    windows_total scalar) — route + immediate per-shard sort-count."""
+    n = mesh.devices.size
+    W = seg_len - k + 1
+    cap = capacity or seg_rows * W
+
+    def local_step(codes):
+        kmers, n_valid = extract.extract_canonical(codes, k)
+        recv, windows = _route_local(kmers, n_valid, n, cap)
+        uniq, counts, n_unique = extract.sort_count_unique(recv.reshape(-1))
+        return uniq[None, :], counts[None, :], n_unique[None], windows
+
+    return jax.jit(
+        jax.shard_map(
+            local_step, mesh=mesh, in_specs=P("shard"),
+            out_specs=(P("shard"), P("shard"), P("shard"), P()),
+        )
+    )
+
+
+def _pull(arr) -> np.ndarray:
+    """Device->host for a (possibly multi-process) sharded array."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        arr = multihost_utils.process_allgather(arr, tiled=True)
+    return np.asarray(arr)
+
+
 class ShardedCountAccumulator:
     """Streaming multi-chip counting: every batch is extracted and routed to
-    owner shards (``build_sharded_count_step``), producing per-shard sorted
-    runs that accumulate in a per-shard LSM (pairwise sharded merges, no
-    collectives after the initial all_to_all).  The TPU analogue of KMC's
-    out-of-core bins: the global table never exists on one chip.
+    owner shards, raw routed k-mers buffer per shard and collapse by one
+    sort+count pass per tier, collapsed runs merge in a per-shard LSM, and
+    oversized runs spill to host RAM — the multi-chip mirror of
+    count/device_lsm.DeviceCountAccumulator (SURVEY.md §5's distributed
+    backend; the reference's only parallelism is OpenMP, kmodel.hpp:93,561).
+    """
 
-    Cites: the distributed design in SURVEY.md §5; single-chip counterpart
-    count/device_lsm.DeviceCountAccumulator."""
+    RAW_TIER_ELEMS = 32 << 20   # per-shard raw k-mers before a collapse
+    SPILL_THRESHOLD = 64 << 20  # per-shard run size that leaves HBM
 
-    def __init__(self, mesh: Mesh, k: int, seg_rows: int, seg_len: int):
+    def __init__(self, mesh: Mesh, k: int, seg_rows: int, seg_len: int,
+                 packed: bool = False, raw_tier_elems: int | None = None,
+                 spill_threshold: int | None = None):
         self.mesh = mesh
         self.k = k
         self.n = mesh.devices.size
         self.seg_rows = seg_rows
         self.seg_len = seg_len
-        self.step = build_sharded_count_step(mesh, k, seg_rows, seg_len)
+        self.step = build_route_step(mesh, k, seg_rows, seg_len, packed=packed)
+        self.collapse = build_sharded_collapse(mesh)
         self.merge = build_sharded_merge(mesh)
-        self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []
+        self.raw_tier_elems = raw_tier_elems or self.RAW_TIER_ELEMS
+        self.spill_threshold = spill_threshold or self.SPILL_THRESHOLD
+        self.raw: list = []          # [n, R_i] sharded raw arrays
+        self.raw_elems = 0           # per-shard raw element count
+        self.runs: list[tuple] = []  # (uniq [n, M], counts [n, M], M)
+        self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
         self.total_windows = 0
 
-    def add_batch(self, codes: np.ndarray) -> None:
-        uniq, counts, _, windows = self.step(codes)
-        self.total_windows += int(windows)
-        self.runs.append((uniq, counts, uniq.shape[1]))
+    def add_batch(self, codes) -> None:
+        recv, windows = self.step(codes)
+        self._push_raw(recv, int(windows))
+
+    def add_batch_packed(self, packed, maskbits) -> None:
+        recv, windows = self.step(packed, maskbits)
+        self._push_raw(recv, int(windows))
+
+    def _push_raw(self, recv, windows: int) -> None:
+        self.total_windows += windows
+        self.raw.append(recv)
+        self.raw_elems += recv.shape[1]
+        if self.raw_elems >= self.raw_tier_elems:
+            self._collapse_raw()
+
+    def _collapse_raw(self) -> None:
+        if not self.raw:
+            return
+        u, c, _ = self.collapse(tuple(self.raw))
+        self.raw = []
+        self.raw_elems = 0
+        self._push_run(u, c)
+
+    def _push_run(self, u, c) -> None:
+        if u.shape[1] >= self.spill_threshold:
+            self._spill(u, c)
+            return
+        self.runs.append((u, c, u.shape[1]))
         while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
             kb, cb, _ = self.runs.pop()
             ka, ca, _ = self.runs.pop()
-            u, c, _ = self.merge(ka, ca, kb, cb)
-            self.runs.append((u, c, u.shape[1]))
+            u2, c2, _ = self.merge(ka, ca, kb, cb)
+            if u2.shape[1] >= self.spill_threshold:
+                self._spill(u2, c2)
+                break
+            self.runs.append((u2, c2, u2.shape[1]))
 
-    def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF):
-        """Merge everything; returns global host-side (kmers, counts) sorted
-        ascending (per-shard partitions are pulled and merged on host)."""
+    def _spill(self, u, c) -> None:
+        """Pull a per-shard run set to host RAM: per-shard partitions are
+        concatenated shard-major (each shard's slice stays sorted), then
+        folded into per-shard host run lists by the native merge."""
+        ku = _pull(u)
+        kc = _pull(c).astype(np.uint32, copy=False)
+        from kmcex_tpu import native
+
+        parts_k, parts_c = [], []
+        for s in range(self.n):
+            row_k, row_c = ku[s], kc[s]
+            real = row_k != np.uint64(0xFFFFFFFFFFFFFFFF)
+            parts_k.append(row_k[real])
+            parts_c.append(row_c[real])
+        # merge against the existing host level, shard by shard
+        if not self.host_runs:
+            self.host_runs = [(parts_k[s], parts_c[s]) for s in range(self.n)]
+        else:
+            self.host_runs = [
+                native.merge_runs(self.host_runs[s][0], self.host_runs[s][1],
+                                  parts_k[s], parts_c[s])
+                for s in range(self.n)
+            ]
+
+    def _merge_all_device(self):
+        self._collapse_raw()
         while len(self.runs) >= 2:
             kb, cb, _ = self.runs.pop()
             ka, ca, _ = self.runs.pop()
             u, c, _ = self.merge(ka, ca, kb, cb)
             self.runs.append((u, c, u.shape[1]))
-        if not self.runs:
-            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
-        u, c, _ = self.runs[0]
-        if jax.process_count() > 1:
-            # per-shard partitions live on remote hosts too: gather the
-            # global value to every process (model building replicates).
-            from jax.experimental import multihost_utils
 
-            u = multihost_utils.process_allgather(u, tiled=True)
-            c = multihost_utils.process_allgather(c, tiled=True)
-        ku = np.asarray(u).reshape(-1)
-        kc = np.asarray(c).reshape(-1).astype(np.uint32)
-        real = (ku != np.uint64(0xFFFFFFFFFFFFFFFF)) & (kc >= ci)
-        ku, kc = ku[real], kc[real]
+    def _host_table(self, ci: int, cs: int) -> tuple[np.ndarray, np.ndarray]:
+        """Merge everything down to one global host-side sorted table."""
+        self._merge_all_device()
+        if self.runs:
+            u, c, _ = self.runs.pop()
+            self._spill(u, c)
+        if not self.host_runs:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
+        ku = np.concatenate([r[0] for r in self.host_runs])
+        kc = np.concatenate([r[1] for r in self.host_runs])
+        keep = kc >= ci
+        ku, kc = ku[keep], np.minimum(kc[keep], np.uint32(cs))
         order = np.argsort(ku, kind="stable")
-        return ku[order], np.minimum(kc[order], np.uint32(cs))
+        return ku[order], kc[order]
+
+    def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF):
+        """Returns global host-side (kmers, counts) sorted ascending."""
+        return self._host_table(ci, cs)
+
+    def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF,
+                        n_chunks: int = 16):
+        """Streaming finalize with the same (total, low_hist, chunk_iter)
+        contract as DeviceCountAccumulator.finalize_stream, so the encode
+        pipeline can consume either accumulator."""
+        kmers, counts = self._host_table(ci, cs)
+        total = len(kmers)
+        hist = np.array(
+            [np.count_nonzero(counts == ci + i) for i in range(3)],
+            dtype=np.int64,
+        )
+        m = max(1, -(-total // max(n_chunks, 1)))
+
+        def it():
+            for a in range(0, total, m):
+                yield kmers[a : a + m], counts[a : a + m]
+
+        return total, hist, it()
 
 
 def sharded_count(codes: np.ndarray, mesh: Mesh, k: int):

@@ -70,6 +70,80 @@ def test_sharded_accumulator_matches_single_device():
     np.testing.assert_array_equal(got_c, want_c)
 
 
+def test_sharded_accumulator_tiers_and_spill():
+    """The raw tier (unsorted routed k-mers collapsed by one sort+count),
+    the per-shard LSM merges, and the host spill path must all agree with
+    the single-chip accumulator — forced by tiny thresholds."""
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(23)
+    k = 15
+    n = 8
+    rows, L = 16, 48
+    mesh = sharded.make_mesh(n)
+    acc = sharded.ShardedCountAccumulator(
+        mesh, k, rows // n, L, raw_tier_elems=64, spill_threshold=256)
+    ref = DeviceCountAccumulator(k)
+    for _ in range(9):
+        codes = _random_codes(rng, rows, L)
+        acc.add_batch(codes)
+        ref.add_batch(codes)
+    assert acc.host_runs, "spill threshold should have triggered"
+    got_k, got_c = acc.finalize(ci=2, cs=255)
+    want_k, want_c = ref.finalize(ci=2, cs=255)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_count_fastq_sharded_end_to_end(tmp_path):
+    """FASTQ -> packed segments -> sharded extract/all_to_all -> per-shard
+    LSM -> streaming finalize, wired through count_fastq(accumulator=
+    "sharded") on the 8-device CPU mesh, equals the single-chip pipeline
+    (VERDICT r1 item 4)."""
+    from kmcex_tpu.count.pipeline import count_fastq
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = rng.integers(0, 4, size=20000)
+    with open(tmp_path / "reads.fastq", "wb") as f:
+        for i, s in enumerate(rng.integers(0, len(genome) - 80, size=3000)):
+            seq = bases[genome[s : s + 80]].tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * 80))
+    fq = str(tmp_path / "reads.fastq")
+    k = 21
+    sk, sc, sstats = count_fastq(fq, k=k, ci=1, cs=1023, batch_segs=512,
+                                 accumulator="sharded",
+                                 mesh=sharded.make_mesh(8))
+    dk, dc, dstats = count_fastq(fq, k=k, ci=1, cs=1023, batch_segs=512,
+                                 accumulator="device")
+    np.testing.assert_array_equal(sk, dk)
+    np.testing.assert_array_equal(sc, dc)
+    # sharded counts VALID windows (psum of n_valid); single-chip counts
+    # window slots incl. padding — assert the exact semantic of each
+    assert sstats.windows == 3000 * (80 - k + 1)
+    assert dstats.windows >= sstats.windows
+    assert sstats.reads == dstats.reads == 3000
+
+    # the streaming finalize contract feeds the encoder identically
+    acc = sharded.ShardedCountAccumulator(sharded.make_mesh(8), k, 64, 80,
+                                          packed=True)
+    from kmcex_tpu.io import fastq as fastq_mod
+
+    stream = fastq_mod.SegmentStream(fq, k, 80, 512, packed=True)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(sharded.make_mesh(8), PartitionSpec("shard"))
+    for packed, maskbits in stream:
+        acc.add_batch_packed(*jax.device_put((packed, maskbits), sh))
+    total, hist, it = acc.finalize_stream(ci=1, cs=1023)
+    got_k = np.concatenate([x[0] for x in it])
+    assert total == len(dk)
+    np.testing.assert_array_equal(got_k, dk)
+    np.testing.assert_array_equal(
+        hist, [np.count_nonzero(dc == 1 + i) for i in range(3)])
+
+
 def test_sharded_query_matches_host():
     """Data-parallel serving (parallel.serve): replicated model, queries
     sharded over the mesh -> answers identical to the host query path."""
