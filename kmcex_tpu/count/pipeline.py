@@ -167,6 +167,8 @@ def count_encode(
         km = get_model(ci, cs, num_hash, num_bit)
         with ph.phase("transfer+encode"):
             km.init_from_chunks(tee(), k, total, low_hist)
+        for name, secs in getattr(km, "encode_phases", {}).items():
+            ph.add(f"encode.{name}", secs)
         t_total = time.time() - t0
     kmers = counts = None
     if keep_pairs:

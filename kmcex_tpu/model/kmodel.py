@@ -101,27 +101,70 @@ class KModel:
         self._init_km_parameter(self.km_kmercount)
         self.kld = KRestData(k)
 
-        # Pass 2: route. BF inserts are commutative scatter-ORs -> batched;
-        # the coupled-array stream keeps listing order (order-dependent).
+        ph = self.encode_phases = {
+            "chunk_wait": 0.0, "bloom_insert": 0.0, "array_feed": 0.0,
+            "array_finish": 0.0, "rest_build": 0.0, "route_split": 0.0,
+        }
+
+        # Pass 2: route. BF inserts are commutative scatter-ORs — order-free,
+        # so they run on a worker thread (the native insert releases the GIL)
+        # overlapping the order-dependent coupled-array feed on this thread.
         enc = native.BitArrayEncoder(
             k, self.n_bits, self.n_hash, self.occu_bin.occ2bin_lut,
             self.bit1.reshape(-1), self.bit2.reshape(-1), self.km_bit_size,
             self.km_back, self.bit_km_back, self.km_back_num_hash,
             bucket_size=BUCKET_SIZE,
         )
-        for kmers_u64, counts in chunk_iter:
+        import queue
+        import threading
+
+        bloom_q: "queue.Queue" = queue.Queue(maxsize=8)
+
+        def bloom_worker():
+            t_busy = 0.0
+            while True:
+                item = bloom_q.get()
+                if item is None:
+                    break
+                i, kmers = item
+                t = time.time()
+                self.bloom.insert(i, kmers, k)
+                t_busy += time.time() - t
+            ph["bloom_insert"] = t_busy
+
+        bw = threading.Thread(target=bloom_worker, daemon=True)
+        bw.start()
+        it = iter(chunk_iter)
+        while True:
+            t = time.time()
+            item = next(it, None)
+            ph["chunk_wait"] += time.time() - t
+            if item is None:
+                break
+            kmers_u64, counts = item
+            t = time.time()
             kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
             counts = np.ascontiguousarray(counts, dtype=np.uint32)
             low_mask = counts < self.ci + self.bf_num
-            for i in range(self.bf_num):
-                self.bloom.insert(i, kmers_u64[counts == self.ci + i], k)
             arr_kmers = kmers_u64[~low_mask]
+            arr_counts = counts[~low_mask]
+            for i in range(self.bf_num):
+                bloom_q.put((i, kmers_u64[counts == self.ci + i]))
+            ph["route_split"] += time.time() - t
             if len(arr_kmers):
-                enc.feed(arr_kmers, counts[~low_mask])
+                t = time.time()
+                enc.feed(arr_kmers, arr_counts)
+                ph["array_feed"] += time.time() - t
+        t = time.time()
         rest_kmers, rest_occs = enc.finish()
+        ph["array_finish"] = time.time() - t
+        bloom_q.put(None)
+        bw.join()
+        t = time.time()
         if len(rest_kmers):
             self.kld.push_back(rest_kmers, rest_occs)
         self.kld.build()
+        ph["rest_build"] = time.time() - t
         self.build_time_cost = time.time() - t0
 
     def init(self, db_path: str) -> None:
