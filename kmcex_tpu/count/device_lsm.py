@@ -46,10 +46,22 @@ from kmcex_tpu.count.extract import (
 @jax.jit
 def _merge_runs_kernel(ka, ca, kb, cb):
     """Merge two sorted (kmer, count) runs (SENTINEL-padded), summing
-    duplicates; result padded to len(ka)+len(kb)."""
-    k = jnp.concatenate([ka, kb])
-    c = jnp.concatenate([ca, cb]).astype(jnp.uint32)
-    k, c = jax.lax.sort((k, c), num_keys=1, is_stable=False)
+    duplicates; result padded to len(ka)+len(kb).
+
+    On TPU the merge is a single final-stage bitonic pass
+    (sort_pallas.merge_sorted_u64) — already-sorted runs need no full
+    re-sort; elsewhere it falls back to concat + lax.sort."""
+    from kmcex_tpu.count import sort_pallas
+
+    n_out = ka.shape[0] + kb.shape[0]
+    if sort_pallas.use_pallas_sort():
+        k, c = sort_pallas.merge_sorted_u64(
+            ka, ca.astype(jnp.uint32), kb, cb.astype(jnp.uint32))
+        k, c = k[:n_out], c[:n_out]
+    else:
+        k = jnp.concatenate([ka, kb])
+        c = jnp.concatenate([ca, cb]).astype(jnp.uint32)
+        k, c = jax.lax.sort((k, c), num_keys=1, is_stable=False)
     n = k.shape[0]
     idxs = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), k[1:] != k[:-1]])
@@ -69,7 +81,9 @@ def _merge_runs_kernel(ka, ca, kb, cb):
     # saturate at uint32 (counters clamp to cs far below this anyway)
     counts32 = jnp.minimum(counts, jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     key = jnp.where(valid, k, SENTINEL)
-    uniq, counts_c = jax.lax.sort((key, counts32), num_keys=1, is_stable=False)
+    from kmcex_tpu.count.extract import sorted_u64_with_payload
+
+    uniq, counts_c = sorted_u64_with_payload(key, counts32)
     n_unique = jnp.sum(valid, dtype=jnp.int32)
     counts_c = jnp.where(idxs < n_unique, counts_c, 0)
     return uniq, counts_c, n_unique
@@ -157,7 +171,9 @@ def _fused_finalize(kmers_list, ci, n_rows: int):
     stats vector.  One dispatch + one small pull replaces the old
     sort/per-part-compact/per-field-stat chain (~15 blocking roundtrips)."""
     flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
-    u, c, _ = segment_compact(jnp.sort(flat))
+    from kmcex_tpu.count.extract import sorted_u64
+
+    u, c, _ = segment_compact(sorted_u64(flat))
     return u, c, _final_stats(u, c, ci, n_rows)
 
 

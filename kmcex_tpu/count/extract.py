@@ -82,6 +82,31 @@ def pack_codes_np(codes: "np.ndarray"):
     return packed, maskbits
 
 
+def sorted_u64(x: jnp.ndarray) -> jnp.ndarray:
+    """Ascending sort of a flat uint64 vector.  On TPU this dispatches to
+    the Pallas bitonic network (count/sort_pallas.py) — XLA's generic
+    64-bit sort is ~10-50x slower there (no native u64 lanes); elsewhere
+    (CPU tests) it falls back to jnp.sort.  Output is sliced back to the
+    input length: the Pallas path pads to a power-of-two block count with
+    SENTINEL tail entries, and since real keys always sort before
+    SENTINEL, the first n slots hold every real key."""
+    from kmcex_tpu.count import sort_pallas
+
+    if sort_pallas.use_pallas_sort():
+        return sort_pallas.sort_u64(x)[: x.shape[0]]
+    return jnp.sort(x)
+
+
+def sorted_u64_with_payload(k: jnp.ndarray, c: jnp.ndarray):
+    """Ascending (u64 key, u32 payload) sort; same dispatch as sorted_u64."""
+    from kmcex_tpu.count import sort_pallas
+
+    if sort_pallas.use_pallas_sort():
+        ks, cs = sort_pallas.sort_u64_with_payload(k, c)
+        return ks[: k.shape[0]], cs[: k.shape[0]]
+    return jax.lax.sort((k, c), num_keys=1, is_stable=False)
+
+
 def segment_compact(s: jnp.ndarray):
     """Segment-count duplicates of an already-sorted k-mer array and compact.
 
@@ -102,9 +127,9 @@ def segment_compact(s: jnp.ndarray):
     next_b = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.array([n], jnp.int32)]))))
     run_len = jnp.minimum(next_b, n_real) - idxs  # valid at boundaries only
     counts = jnp.where(valid, run_len, 0)
-    # compaction: stable sort by (is-sentinel-or-dup key) carries counts along
+    # compaction: sort by (is-sentinel-or-dup key) carries counts along
     key = jnp.where(valid, s, SENTINEL)
-    uniq_c, counts_c = jax.lax.sort((key, counts), num_keys=1, is_stable=False)
+    uniq_c, counts_c = sorted_u64_with_payload(key, counts.astype(jnp.uint32))
     n_unique = jnp.sum(valid, dtype=jnp.int64)
     counts_c = jnp.where(idxs < n_unique.astype(jnp.int32), counts_c, 0)
     return uniq_c, counts_c.astype(jnp.uint32), n_unique
@@ -114,4 +139,4 @@ def segment_compact(s: jnp.ndarray):
 def sort_count_unique(kmers: jnp.ndarray):
     """Sort a flat uint64 k-mer array and segment-count duplicates (see
     segment_compact for the TPU-friendly formulation and return value)."""
-    return segment_compact(jnp.sort(kmers))
+    return segment_compact(sorted_u64(kmers))

@@ -26,8 +26,11 @@ exactly, quirks included:
     counts as a hit iff its counter-AS-FLOAT is in [min_count, max_count]
     (integer bounds compared as float).
 
-Restrictions vs the vendored API: k <= 32 (one uint64 per k-mer; the
-reference CLI defaults to k=31 and its own uint64 utilities cap at 32).
+k-mer representation: k <= 32 databases use flat uint64 arrays [n] (the hot
+path; the reference CLI defaults to k=31).  k > 32 databases — which the
+vendored CKmerAPI supports via multi-word packing (kmer_api.h:26-81) — use
+``[n, W]`` uint64 arrays (word 0 most significant, see core/codec_mw.py);
+the model layer itself stays k <= 32 like the reference's uint64 utilities.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ import pathlib
 
 import numpy as np
 
+from kmcex_tpu.core import codec_mw
 from kmcex_tpu.core import signature as sig_mod
 
 _U64 = np.uint64
@@ -76,10 +80,10 @@ class KMCReader:
             self._parse_kmc2(pre)
         else:
             raise ValueError(f"unsupported KMC version 0x{self.kmc_version:x}")
-        if self.kmer_length > 32:
-            raise ValueError("k > 32 not supported (packed-uint64 k-mers)")
         if self.mode not in (0, 1):
             raise ValueError(f"unknown counter mode {self.mode}")
+        self.n_words = codec_mw.n_words(self.kmer_length)
+        self.multiword = self.kmer_length > 32
         self.sufix_size = (self.kmer_length - self.lut_prefix_length) // 4
         self.sufix_rec_size = self.sufix_size + self.counter_size
         self._decoded: tuple[np.ndarray, np.ndarray] | None = None
@@ -90,11 +94,26 @@ class KMCReader:
     # lookups seek/read only the queried buckets.
     RA_CACHE_BYTES = 256 << 20
 
+    def _suffix_of(self, kmers: np.ndarray) -> np.ndarray:
+        """Comparable suffix keys of decoded k-mers: uint64 for k <= 32,
+        fixed-width byte keys (memcmp order == numeric order) for k > 32."""
+        suf_bits = 2 * 4 * self.sufix_size
+        if not self.multiword:
+            return kmers & ((_U64(1) << _U64(suf_bits)) - _U64(1))
+        W = self.n_words
+        out = kmers.copy()
+        for col in range(W):
+            low = 64 * (W - 1 - col)  # bit significance of this word's LSB
+            if low >= suf_bits:
+                out[:, col] = 0
+            elif low + 64 > suf_bits:
+                out[:, col] &= (_U64(1) << _U64(suf_bits - low)) - _U64(1)
+        return codec_mw.sort_key_mw(out)
+
     def _raw_suffixes(self) -> tuple[np.ndarray, np.ndarray]:
-        """UNFILTERED (suffix u64, raw u32 counter) arrays aligned with
+        """UNFILTERED (suffix keys, raw u32 counter) arrays aligned with
         record indices (what BinarySearch walks); cached for small DBs."""
         if self._raw_suf is None:
-            suf_bits = _U64(2 * 4 * self.sufix_size)
             parts_s, parts_c = [], []
             rec = self.sufix_rec_size
             with open(self.path + ".kmc_suf", "rb") as f:
@@ -106,7 +125,7 @@ class KMCReader:
                     r1 = min(r0 + step, self.total_kmers)
                     body = np.frombuffer(f.read((r1 - r0) * rec), dtype=np.uint8)
                     k_, c_ = self._decode_range(body, r0, r1)
-                    parts_s.append(k_ & ((_U64(1) << suf_bits) - _U64(1)))
+                    parts_s.append(self._suffix_of(k_))
                     parts_c.append(c_)
                     r0 = r1
             if parts_s:
@@ -182,10 +201,6 @@ class KMCReader:
         n = r1 - r0
         rec = self.sufix_rec_size
         body = body.reshape(n, rec) if n else np.zeros((0, rec), np.uint8)
-        # suffix bytes are MSB-first base pairs; accumulate big-endian.
-        suffix = np.zeros(n, dtype=_U64)
-        for j in range(self.sufix_size):
-            suffix = (suffix << _U64(8)) | body[:, j].astype(_U64)
         # counter bytes little-endian (kmc_file.cpp:481-494)
         counts = np.zeros(n, dtype=np.uint32)
         for b in range(self.counter_size - 1, -1, -1):
@@ -198,7 +213,28 @@ class KMCReader:
         slots = np.clip(slots, 0, max(len(bounds) - 2, 0))
         prefix_mask = (1 << (2 * self.lut_prefix_length)) - 1
         prefixes = (slots & prefix_mask).astype(_U64)
-        kmers = (prefixes << _U64(2 * 4 * self.sufix_size)) | suffix
+        suf_bits = 2 * 4 * self.sufix_size
+        if not self.multiword:
+            # suffix bytes are MSB-first base pairs; accumulate big-endian.
+            suffix = np.zeros(n, dtype=_U64)
+            for j in range(self.sufix_size):
+                suffix = (suffix << _U64(8)) | body[:, j].astype(_U64)
+            kmers = (prefixes << _U64(suf_bits)) | suffix
+            return kmers, counts
+        # k > 32: assemble [n, W] words (word 0 most significant; see
+        # core/codec_mw.py).  Suffix byte j holds bits
+        # [8*(sufix_size-1-j), +8) — never straddling a word boundary.
+        W = self.n_words
+        kmers = np.zeros((n, W), dtype=_U64)
+        for j in range(self.sufix_size):
+            bit = 8 * (self.sufix_size - 1 - j)
+            col = W - 1 - bit // 64
+            kmers[:, col] |= body[:, j].astype(_U64) << _U64(bit % 64)
+        col = W - 1 - suf_bits // 64
+        s = suf_bits % 64
+        kmers[:, col] |= prefixes << _U64(s)
+        if s and s + 2 * self.lut_prefix_length > 64 and col - 1 >= 0:
+            kmers[:, col - 1] |= prefixes >> _U64(64 - s)
         return kmers, counts
 
     def _keep_mask_listing(self, counts: np.ndarray) -> np.ndarray:
@@ -249,7 +285,7 @@ class KMCReader:
             kmers = np.concatenate([p[0] for p in parts])
             counts = np.concatenate([p[1] for p in parts])
         else:
-            kmers = np.zeros(0, _U64)
+            kmers = np.zeros((0, self.n_words) if self.multiword else 0, _U64)
             counts = np.zeros(0, np.float32 if self.mode == 1 else np.uint32)
         self._decoded = (kmers, counts)
         return self._decoded
@@ -258,14 +294,22 @@ class KMCReader:
     def _query_ranges(self, kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Record ranges [lo, hi) per query k-mer from the prefix LUT
         (KMC2: signature-mapped bins first, kmc_file.cpp:358-396)."""
-        suf_bits = _U64(2 * 4 * self.sufix_size)
-        prefixes = (kmers >> suf_bits).astype(np.int64)
+        suf_bits = 2 * 4 * self.sufix_size
+        if self.multiword:
+            prefixes = codec_mw.extract_bits_mw(
+                kmers, suf_bits, 2 * self.lut_prefix_length).astype(np.int64)
+        else:
+            prefixes = (kmers >> _U64(suf_bits)).astype(np.int64)
         if self.kmc_version == 0:
             lut = self._lut
             lo = lut[prefixes].astype(np.int64)
             hi = np.append(lut, self.total_kmers)[prefixes + 1].astype(np.int64)
         else:
-            sigs = sig_mod.signatures(kmers, self.kmer_length, self.signature_len)
+            if self.multiword:
+                sigs = codec_mw.signatures_mw(
+                    kmers, self.kmer_length, self.signature_len)
+            else:
+                sigs = sig_mod.signatures(kmers, self.kmer_length, self.signature_len)
             bin_start = self.signature_map[sigs].astype(np.int64) * self.single_lut_size
             lo = self._lut[bin_start + prefixes].astype(np.int64)
             hi = self._lut[bin_start + prefixes + 1].astype(np.int64)
@@ -283,12 +327,13 @@ class KMCReader:
         [min_count, max_count] filter — compared AS FLOAT for quake
         databases (kmc_file.cpp:1425-1433), never the raw bits."""
         kmers = np.asarray(kmers_u64, dtype=_U64)
+        if self.multiword and kmers.ndim != 2:
+            raise ValueError("k > 32 databases take [n, W] multi-word queries")
         out_dtype = np.float32 if self.mode == 1 else np.uint32
         out = np.zeros(len(kmers), dtype=out_dtype)
         if not len(kmers) or not self.total_kmers:
             return out
-        suf_bits = _U64(2 * 4 * self.sufix_size)
-        suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
+        suffixes = self._suffix_of(kmers)
         lo, hi = self._query_ranges(kmers)
         found = np.zeros(len(kmers), dtype=bool)
         counters = np.zeros(len(kmers), dtype=np.uint32)
@@ -331,7 +376,7 @@ class KMCReader:
                     f.seek(4 + r0 * rec)
                     body = np.frombuffer(f.read((r1 - r0) * rec), dtype=np.uint8)
                     bkmers, bcounts = self._decode_range(body, r0, r1)
-                    bsuf = bkmers & ((_U64(1) << suf_bits) - _U64(1))
+                    bsuf = self._suffix_of(bkmers)
                     for qj in group:
                         a, b = int(lo[qj]) - r0, int(hi[qj]) - r0
                         p = a + int(np.searchsorted(bsuf[a:b], suffixes[qj]))
@@ -371,13 +416,22 @@ def write_kmc1(
     suffix bytes (MSB-first bases) + counter (LE).
 
     ``mode=1`` writes a quake-format database: ``counts`` may be float32
-    (stored as raw IEEE bits in a 4-byte counter, kmc_file.cpp:408-420)."""
+    (stored as raw IEEE bits in a 4-byte counter, kmc_file.cpp:408-420).
+
+    For k > 32 pass ``kmers_u64`` as an [n, W] multi-word array
+    (core/codec_mw.py layout)."""
     kmers = np.ascontiguousarray(kmers_u64, dtype=_U64)
+    multiword = kmers.ndim == 2
+    if multiword and k <= 32:
+        raise ValueError("multi-word kmers require k > 32")
+    if k > 32 and not multiword:
+        raise ValueError("k > 32 requires [n, W] multi-word kmers")
     counts = np.asarray(counts)
     if mode == 1:
         counts = counts.astype(np.float32).view(np.uint32).astype(np.uint64)
     counts = np.ascontiguousarray(counts, dtype=np.uint64)
-    if len(kmers) > 1 and not (kmers[1:] > kmers[:-1]).all():
+    keys = codec_mw.sort_key_mw(kmers) if multiword else kmers
+    if len(kmers) > 1 and not (keys[1:] > keys[:-1]).all():
         raise ValueError("kmers must be strictly ascending")
     p = lut_prefix_length or lut_prefix_len_for(k)
     if mode == 1:
@@ -391,7 +445,10 @@ def write_kmc1(
     sufix_size = suf_bases // 4
     total = len(kmers)
 
-    prefixes = (kmers >> _U64(2 * suf_bases)).astype(np.int64)
+    if multiword:
+        prefixes = codec_mw.extract_bits_mw(kmers, 2 * suf_bases, 2 * p).astype(np.int64)
+    else:
+        prefixes = (kmers >> _U64(2 * suf_bases)).astype(np.int64)
     # lut[i] = first record index with prefix i
     lut_full = np.zeros(n_lut, dtype=np.uint64)
     cnts = np.bincount(prefixes, minlength=n_lut).astype(np.uint64)
@@ -417,11 +474,16 @@ def write_kmc1(
         np.array([48], dtype="<u4").tofile(f)  # header_offset: 44B header + 4
         f.write(_MARKER)
 
-    suffix = kmers & ((_U64(1) << _U64(2 * suf_bases)) - _U64(1))
     rec = np.zeros((total, sufix_size + cbytes), dtype=np.uint8)
-    for j in range(sufix_size):
-        shift = _U64(8 * (sufix_size - 1 - j))
-        rec[:, j] = ((suffix >> shift) & _U64(0xFF)).astype(np.uint8)
+    if multiword:
+        for j in range(sufix_size):
+            rec[:, j] = codec_mw.extract_bits_mw(
+                kmers, 8 * (sufix_size - 1 - j), 8).astype(np.uint8)
+    else:
+        suffix = kmers & ((_U64(1) << _U64(2 * suf_bases)) - _U64(1))
+        for j in range(sufix_size):
+            shift = _U64(8 * (sufix_size - 1 - j))
+            rec[:, j] = ((suffix >> shift) & _U64(0xFF)).astype(np.uint8)
     for b in range(cbytes):
         rec[:, sufix_size + b] = ((counts >> _U64(8 * b)) & _U64(0xFF)).astype(np.uint8)
     with open(path + ".kmc_suf", "wb") as f:

@@ -17,7 +17,33 @@ from __future__ import annotations
 
 import numpy as np
 
-from kmcex_tpu.core import codec
+from kmcex_tpu.core import codec, codec_mw
+
+
+def extract_windows_mw(codes: np.ndarray, k: int,
+                       canonical: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """[B, L] uint8 codes -> (kmers [B, Wn, W] multi-word u64, valid
+    [B, Wn]) for k > 32 (CKmerAPI multi-word packing, kmer_api.h:26-81)."""
+    B, L = codes.shape
+    Wn = L - k + 1
+    W = codec_mw.n_words(k)
+    if Wn <= 0:
+        return np.zeros((B, 0, W), np.uint64), np.zeros((B, 0), bool)
+    inv = (codes > 3).astype(np.int32)
+    csum = np.concatenate([np.zeros((B, 1), np.int32), np.cumsum(inv, axis=1)], axis=1)
+    valid = (csum[:, k:] - csum[:, :-k]) == 0
+    c = np.where(codes > 3, 0, codes).astype(np.uint64)
+    kmers = np.zeros((B, Wn, W), dtype=np.uint64)
+    r = k - 32 * (W - 1)  # bases in the (most significant) word 0
+    for w in range(W):
+        s = 0 if w == 0 else r + 32 * (w - 1)   # first base of this word
+        nb = r if w == 0 else 32
+        for t in range(nb):
+            kmers[:, :, w] |= c[:, s + t : s + t + Wn] << np.uint64(2 * (nb - 1 - t))
+    if canonical:
+        flat = codec_mw.canonical_mw(kmers.reshape(-1, W), k)
+        kmers = flat.reshape(B, Wn, W)
+    return kmers, valid
 
 
 def extract_windows_np(codes: np.ndarray, k: int,
@@ -62,9 +88,14 @@ def annotate_with_db(reader, reads: list[str] | np.ndarray, k: int | None = None
     else:
         codes = reads
         lens = [codes.shape[1]] * len(codes)
-    kmers, valid = extract_windows_np(codes, k,
-                                      canonical=getattr(reader, "both_strands", True))
-    counts = reader.check_kmers(kmers.reshape(-1)).reshape(kmers.shape)
+    canon = getattr(reader, "both_strands", True)
+    if k > 32:
+        kmers, valid = extract_windows_mw(codes, k, canonical=canon)
+        W = kmers.shape[-1]
+        counts = reader.check_kmers(kmers.reshape(-1, W)).reshape(valid.shape)
+    else:
+        kmers, valid = extract_windows_np(codes, k, canonical=canon)
+        counts = reader.check_kmers(kmers.reshape(-1)).reshape(kmers.shape)
     counts = np.where(valid, counts, 0)
     out_dt = counts.dtype if counts.dtype == np.float32 else np.uint32
     return [counts[i, : max(lens[i] - k + 1, 0)].astype(out_dt) for i in range(len(lens))]
