@@ -257,12 +257,30 @@ class DeviceCountAccumulator:
     # tables (NA12878 31-mers: billions of distinct k-mers) cannot live on
     # one chip; the device stays a fast "memtable" level of the LSM.
     SPILL_THRESHOLD = 128 << 20
+    # Host-RAM budget for the host LSM level.  When spilled runs exceed it,
+    # the largest run streams to a temp file and drops out of RAM; the
+    # finalize merges disk + RAM runs out-of-core (the analogue of KMC's
+    # external-memory bins — the reference delegates this regime to the
+    # kmc binary, SURVEY.md §5 "long-context" row).  Override with
+    # KMCEX_DISK_SPILL_BYTES (0 disables disk spill).
+    DISK_SPILL_BYTES = 16 << 30
 
     def __init__(self, k: int, raw_tier_elems: int | None = None,
-                 spill_threshold: int | None = None):
+                 spill_threshold: int | None = None,
+                 disk_spill_bytes: int | None = None,
+                 disk_dir: str | None = None):
+        import os as _os
+
         self.k = k
         self.raw_tier_elems = raw_tier_elems or self.RAW_TIER_ELEMS
         self.spill_threshold = spill_threshold or self.SPILL_THRESHOLD
+        if disk_spill_bytes is None:
+            disk_spill_bytes = int(_os.environ.get(
+                "KMCEX_DISK_SPILL_BYTES", self.DISK_SPILL_BYTES))
+        self.disk_spill_bytes = disk_spill_bytes
+        self._disk_dir_arg = disk_dir
+        self._disk_dir: str | None = None
+        self.disk_runs: list[str] = []
         self.raw: list[jnp.ndarray] = []
         self.raw_elems = 0
         self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
@@ -346,6 +364,111 @@ class DeviceCountAccumulator:
             kb, cb = self.host_runs.pop()
             ka, ca = self.host_runs.pop()
             self.host_runs.append(native.merge_runs(ka, ca, kb, cb))
+        self._maybe_spill_to_disk()
+
+    # -- disk tier (out-of-core runs) ------------------------------------
+    def _host_bytes(self) -> int:
+        return sum(12 * len(k) for k, _ in self.host_runs)
+
+    def _maybe_spill_to_disk(self) -> None:
+        if not self.disk_spill_bytes:
+            return
+        while self.host_runs and self._host_bytes() > self.disk_spill_bytes:
+            # the size-tiered cascade keeps host_runs largest-first
+            self._write_disk_run(*self.host_runs.pop(0))
+
+    def _write_disk_run(self, ku: np.ndarray, kc: np.ndarray) -> None:
+        import os
+        import tempfile
+
+        if self._disk_dir is None:
+            self._disk_dir = self._disk_dir_arg or tempfile.mkdtemp(
+                prefix="kmcex_lsm_")
+        os.makedirs(self._disk_dir, exist_ok=True)
+        path = os.path.join(self._disk_dir, f"run{len(self.disk_runs):04d}.bin")
+        with open(path, "wb") as f:
+            np.array([len(ku)], dtype="<u8").tofile(f)
+            ku.astype("<u8").tofile(f)
+            kc.astype("<u4").tofile(f)
+        self.disk_runs.append(path)
+
+    @staticmethod
+    def _open_disk_run(path: str) -> tuple[np.ndarray, np.ndarray]:
+        n = int(np.fromfile(path, dtype="<u8", count=1)[0])
+        km = np.memmap(path, dtype="<u8", mode="r", offset=8, shape=(n,))
+        cm = np.memmap(path, dtype="<u4", mode="r", offset=8 + 8 * n, shape=(n,))
+        return km, cm
+
+    @staticmethod
+    def _merge_streams(runs, chunk_elems: int = 1 << 22):
+        """K-way streaming merge of sorted unique (kmers, counts) runs
+        (arrays or memmaps), summing duplicate keys; yields ascending
+        chunks.  Per step: pick the smallest per-run window-max as the key
+        bound, take everything <= bound from EVERY run (so each key's
+        occurrences across runs land in one step), and fold pairwise with
+        the native two-pointer merge."""
+        from kmcex_tpu import native
+
+        curs = [0] * len(runs)
+        while True:
+            active = [i for i in range(len(runs)) if curs[i] < len(runs[i][0])]
+            if not active:
+                return
+            bound = min(
+                runs[i][0][min(curs[i] + chunk_elems, len(runs[i][0])) - 1]
+                for i in active
+            )
+            mk = mc = None
+            for i in active:
+                hi = int(np.searchsorted(runs[i][0], bound, side="right"))
+                ku = np.asarray(runs[i][0][curs[i]:hi], dtype=np.uint64)
+                kc = np.asarray(runs[i][1][curs[i]:hi]).astype(np.uint32,
+                                                               copy=False)
+                curs[i] = hi
+                if not len(ku):
+                    continue
+                if mk is None:
+                    mk, mc = ku, kc
+                else:
+                    mk, mc = native.merge_runs(mk, mc, ku, kc)
+            if mk is not None and len(mk):
+                yield mk, mc
+
+    def _finalize_disk(self, ci: int, cs: int):
+        """Out-of-core finalize when disk runs exist: one k-way merge pass
+        computes totals and spools the merged table to ONE file; the
+        returned iterator then streams it with ci/cs applied.  Host memory
+        stays bounded by (n_runs + 1) merge chunks."""
+        import os
+
+        runs = [self._open_disk_run(p) for p in self.disk_runs]
+        runs += [(k, c) for k, c in self.host_runs]
+        kpath = os.path.join(self._disk_dir, "merged_k.bin")
+        cpath = os.path.join(self._disk_dir, "merged_c.bin")
+        total = 0
+        hist = np.zeros(3, dtype=np.int64)
+        n_all = 0
+        with open(kpath, "wb") as fk, open(cpath, "wb") as fc:
+            for mk, mc in self._merge_streams(runs):
+                total += int(np.count_nonzero(mc >= ci))
+                for i in range(3):
+                    hist[i] += int(np.count_nonzero(mc == ci + i))
+                n_all += len(mk)
+                mk.astype("<u8").tofile(fk)
+                mc.astype("<u4").tofile(fc)
+        if n_all == 0:
+            return 0, hist, iter(())
+        km = np.memmap(kpath, dtype="<u8", mode="r", shape=(n_all,))
+        cm = np.memmap(cpath, dtype="<u4", mode="r", shape=(n_all,))
+
+        def chunks(m: int = 1 << 22):
+            for a in range(0, n_all, m):
+                ku = np.asarray(km[a : a + m])
+                kc = np.asarray(cm[a : a + m])
+                keep = kc >= ci
+                yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
+
+        return total, hist, chunks()
 
     def _rebalance(self) -> None:
         while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
@@ -376,6 +499,18 @@ class DeviceCountAccumulator:
 
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF) -> tuple[np.ndarray, np.ndarray]:
         self._merge_device_runs()
+        if self.disk_runs:
+            # out-of-core regime: materializes the merged table (use
+            # finalize_stream to keep memory bounded)
+            if self.runs:
+                u, c, _ = self.runs.pop()
+                self._spill(u, c)
+            _, _, it = self._finalize_disk(ci, cs)
+            parts = list(it)
+            if not parts:
+                return np.zeros(0, np.uint64), np.zeros(0, np.uint32)
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         host = self._finalize_host()
         if host is not None:
             kmers, counts = host
@@ -474,7 +609,8 @@ class DeviceCountAccumulator:
         started up front; consuming a chunk (feeding the model encoder)
         overlaps later transfers.  ``n_chunks`` is kept for API
         compatibility (host-run chunking only)."""
-        if not self.runs and not self.host_runs and self.raw:
+        if (not self.runs and not self.host_runs and not self.disk_runs
+                and self.raw):
             size = sum(int(x.shape[0]) for x in self.raw)
             n_rows = _row_count(size)
             u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci), n_rows)
@@ -485,6 +621,11 @@ class DeviceCountAccumulator:
                 return 0, np.zeros(3, dtype=np.int64), iter(())
             return meta["total"], meta["hist"], _decode_filter(meta, ci)
         self._merge_device_runs()
+        if self.disk_runs:
+            if self.runs:
+                u, c, _ = self.runs.pop()
+                self._spill(u, c)
+            return self._finalize_disk(ci, cs)
         host = self._finalize_host()
         if host is not None:
             kmers, counts = host

@@ -175,3 +175,79 @@ def test_spill_finalize_stream_matches():
     np.testing.assert_array_equal(got_k, want_k)
     np.testing.assert_array_equal(got_c, want_c)
     assert total == len(want_k)
+
+
+def _brute_counts(batches, k):
+    from kmcex_tpu.count.extract import extract_canonical
+
+    allk = []
+    for codes in batches:
+        flat = np.asarray(extract_canonical(codes, k)[0])
+        allk.append(flat[flat != 0xFFFFFFFFFFFFFFFF])
+    return np.unique(np.concatenate(allk), return_counts=True)
+
+
+def test_disk_spill_tier(tmp_path):
+    """Tiny thresholds force every run through the disk tier; the
+    out-of-core k-way merge must agree with brute force (both finalize
+    flavors)."""
+    rng = np.random.default_rng(42)
+    k = 15
+    batches = []
+    for _ in range(6):
+        codes = rng.integers(0, 4, size=(48, 60)).astype(np.uint8)
+        batches.append(codes)
+
+    acc = DeviceCountAccumulator(
+        k, raw_tier_elems=1500, spill_threshold=1024,
+        disk_spill_bytes=4096, disk_dir=str(tmp_path / "lsm"))
+    for codes in batches:
+        acc.add_batch(codes)
+    assert acc.disk_runs, "disk tier never engaged"
+    total, hist, chunks = acc.finalize_stream(ci=1, cs=0xFFFFFFFF)
+    got_k = []
+    got_c = []
+    for ku, kc in chunks:
+        got_k.append(ku)
+        got_c.append(kc)
+    got_k = np.concatenate(got_k)
+    got_c = np.concatenate(got_c)
+    want_k, want_c = _brute_counts(batches, k)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c.astype(np.uint32))
+    assert total == len(want_k)
+    for i in range(3):
+        assert hist[i] == int(np.count_nonzero(want_c == 1 + i))
+
+    # non-streaming finalize takes the same path
+    acc2 = DeviceCountAccumulator(
+        k, raw_tier_elems=1500, spill_threshold=1024,
+        disk_spill_bytes=4096, disk_dir=str(tmp_path / "lsm2"))
+    for codes in batches:
+        acc2.add_batch(codes)
+    fk, fc = acc2.finalize(ci=1)
+    np.testing.assert_array_equal(fk, want_k)
+    np.testing.assert_array_equal(fc, want_c.astype(np.uint32))
+
+
+def test_disk_spill_ci_filter(tmp_path):
+    rng = np.random.default_rng(9)
+    k = 13
+    batches = [rng.integers(0, 4, size=(40, 50)).astype(np.uint8) for _ in range(4)]
+    acc = DeviceCountAccumulator(
+        k, raw_tier_elems=900, spill_threshold=512,
+        disk_spill_bytes=2048, disk_dir=str(tmp_path / "lsm"))
+    for codes in batches:
+        acc.add_batch(codes)
+    assert acc.disk_runs
+    total, _, chunks = acc.finalize_stream(ci=2, cs=3)
+    got_k, got_c = [], []
+    for ku, kc in chunks:
+        got_k.append(ku)
+        got_c.append(kc)
+    want_k, want_c = _brute_counts(batches, k)
+    keep = want_c >= 2
+    np.testing.assert_array_equal(np.concatenate(got_k), want_k[keep])
+    np.testing.assert_array_equal(
+        np.concatenate(got_c), np.minimum(want_c[keep], 3).astype(np.uint32))
+    assert total == int(np.count_nonzero(keep))
