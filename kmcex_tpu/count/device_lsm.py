@@ -438,7 +438,10 @@ class DeviceCountAccumulator:
         """Out-of-core finalize when disk runs exist: one k-way merge pass
         computes totals and spools the merged table to ONE file; the
         returned iterator then streams it with ci/cs applied.  Host memory
-        stays bounded by (n_runs + 1) merge chunks."""
+        stays bounded by (n_runs + 1) merge chunks.  Run files are deleted
+        as soon as the merge pass consumed them; the merged files (and the
+        temp dir, when we created it) are deleted when the returned
+        iterator is exhausted or closed — see also close()."""
         import os
 
         runs = [self._open_disk_run(p) for p in self.disk_runs]
@@ -456,19 +459,54 @@ class DeviceCountAccumulator:
                 n_all += len(mk)
                 mk.astype("<u8").tofile(fk)
                 mc.astype("<u4").tofile(fc)
+        del runs  # drop the memmaps so the run files can be unlinked
+        self.host_runs = []
+        for p in self.disk_runs:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self.disk_runs = []
         if n_all == 0:
+            self.close()
             return 0, hist, iter(())
         km = np.memmap(kpath, dtype="<u8", mode="r", shape=(n_all,))
         cm = np.memmap(cpath, dtype="<u4", mode="r", shape=(n_all,))
 
         def chunks(m: int = 1 << 22):
-            for a in range(0, n_all, m):
-                ku = np.asarray(km[a : a + m])
-                kc = np.asarray(cm[a : a + m])
-                keep = kc >= ci
-                yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
+            try:
+                for a in range(0, n_all, m):
+                    ku = np.asarray(km[a : a + m])
+                    kc = np.asarray(cm[a : a + m])
+                    keep = kc >= ci
+                    yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
+            finally:
+                self.close()
 
         return total, hist, chunks()
+
+    def close(self) -> None:
+        """Delete any disk-tier files this accumulator created (run files,
+        merged files, and the mkdtemp dir when we own it).  Idempotent;
+        safe to call whether or not a finalize ran."""
+        import os
+        import shutil
+
+        for p in self.disk_runs:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self.disk_runs = []
+        if self._disk_dir is not None:
+            for name in ("merged_k.bin", "merged_c.bin"):
+                try:
+                    os.unlink(os.path.join(self._disk_dir, name))
+                except OSError:
+                    pass
+            if self._disk_dir_arg is None:
+                shutil.rmtree(self._disk_dir, ignore_errors=True)
+            self._disk_dir = None
 
     def _rebalance(self) -> None:
         while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
@@ -500,8 +538,29 @@ class DeviceCountAccumulator:
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF) -> tuple[np.ndarray, np.ndarray]:
         self._merge_device_runs()
         if self.disk_runs:
-            # out-of-core regime: materializes the merged table (use
-            # finalize_stream to keep memory bounded)
+            # out-of-core regime: this entry point MATERIALIZES the merged
+            # table in host RAM — exactly the regime disk spill exists for.
+            # Warn loudly and point callers at finalize_stream; raise when
+            # the materialized size would clearly exceed the spill budget.
+            import warnings
+
+            disk_bytes = sum(
+                12 * self._open_disk_run(p)[0].shape[0] for p in self.disk_runs
+            )
+            # raise only for genuinely-beyond-RAM sizes (absolute floor so
+            # forced-tiny-threshold tests and small tables still pass)
+            ram_budget = max(2 * self.disk_spill_bytes, 8 << 30)
+            if self.disk_spill_bytes and disk_bytes > ram_budget:
+                raise MemoryError(
+                    f"finalize() would materialize ~{disk_bytes >> 20}MB of "
+                    f"disk-spilled table in host RAM (budget "
+                    f"{ram_budget >> 20}MB); use finalize_stream() for "
+                    f"bounded memory"
+                )
+            warnings.warn(
+                "DeviceCountAccumulator.finalize() materializes the merged "
+                "table despite disk spill; use finalize_stream() for "
+                "bounded memory", ResourceWarning, stacklevel=2)
             if self.runs:
                 u, c, _ = self.runs.pop()
                 self._spill(u, c)

@@ -331,10 +331,16 @@ def _from_tiles(planes, n):
     return out
 
 
-def use_pallas_sort() -> bool:
-    import os
+# Resolved ONCE at import: the dispatch runs at jit trace time, so a
+# mid-process env flip would be silently ignored by the jit cache anyway.
+# KMCEX_PALLAS_SORT=0 is a process-start-only escape hatch.
+import os as _os
 
-    if os.environ.get("KMCEX_PALLAS_SORT", "1") == "0":
+_ENV_DISABLED = _os.environ.get("KMCEX_PALLAS_SORT", "1") == "0"
+
+
+def use_pallas_sort() -> bool:
+    if _ENV_DISABLED:
         return False
     return jax.default_backend() == "tpu"
 

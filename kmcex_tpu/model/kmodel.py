@@ -119,47 +119,62 @@ class KModel:
         import threading
 
         bloom_q: "queue.Queue" = queue.Queue(maxsize=8)
+        worker_err: list[BaseException] = []
 
         def bloom_worker():
+            # A raised insert must not kill the thread silently: the bounded
+            # queue would deadlock the producer and a "successful" build
+            # would silently miss BF inserts.  On failure the worker keeps
+            # draining (so put() never blocks) and the error re-raises on
+            # the build thread after join().
             t_busy = 0.0
             while True:
                 item = bloom_q.get()
                 if item is None:
                     break
+                if worker_err:
+                    continue  # drain so the producer never blocks
                 i, kmers = item
                 t = time.time()
-                self.bloom.insert(i, kmers, k)
+                try:
+                    self.bloom.insert(i, kmers, k)
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    worker_err.append(e)
                 t_busy += time.time() - t
             ph["bloom_insert"] = t_busy
 
         bw = threading.Thread(target=bloom_worker, daemon=True)
         bw.start()
-        it = iter(chunk_iter)
-        while True:
-            t = time.time()
-            item = next(it, None)
-            ph["chunk_wait"] += time.time() - t
-            if item is None:
-                break
-            kmers_u64, counts = item
-            t = time.time()
-            kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
-            counts = np.ascontiguousarray(counts, dtype=np.uint32)
-            low_mask = counts < self.ci + self.bf_num
-            arr_kmers = kmers_u64[~low_mask]
-            arr_counts = counts[~low_mask]
-            for i in range(self.bf_num):
-                bloom_q.put((i, kmers_u64[counts == self.ci + i]))
-            ph["route_split"] += time.time() - t
-            if len(arr_kmers):
+        try:
+            it = iter(chunk_iter)
+            while True:
                 t = time.time()
-                enc.feed(arr_kmers, arr_counts)
-                ph["array_feed"] += time.time() - t
-        t = time.time()
-        rest_kmers, rest_occs = enc.finish()
-        ph["array_finish"] = time.time() - t
-        bloom_q.put(None)
-        bw.join()
+                item = next(it, None)
+                ph["chunk_wait"] += time.time() - t
+                if item is None:
+                    break
+                kmers_u64, counts = item
+                t = time.time()
+                kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
+                counts = np.ascontiguousarray(counts, dtype=np.uint32)
+                low_mask = counts < self.ci + self.bf_num
+                arr_kmers = kmers_u64[~low_mask]
+                arr_counts = counts[~low_mask]
+                for i in range(self.bf_num):
+                    bloom_q.put((i, kmers_u64[counts == self.ci + i]))
+                ph["route_split"] += time.time() - t
+                if len(arr_kmers):
+                    t = time.time()
+                    enc.feed(arr_kmers, arr_counts)
+                    ph["array_feed"] += time.time() - t
+            t = time.time()
+            rest_kmers, rest_occs = enc.finish()
+            ph["array_finish"] = time.time() - t
+        finally:
+            bloom_q.put(None)
+            bw.join()
+        if worker_err:
+            raise worker_err[0]
         t = time.time()
         if len(rest_kmers):
             self.kld.push_back(rest_kmers, rest_occs)
