@@ -127,6 +127,9 @@ def main() -> None:
         f"{len(kmers)} distinct kmers; count {t_count:.2f}s + encode "
         f"{t_total - t_count:.2f}s -> {reads_per_s:,.0f} reads/s"
     )
+    phases = {k: round(v, 3) for k, v in sorted(
+        stats.phases.items(), key=lambda kv: -kv[1])}
+    log(f"phase breakdown (best pass): {json.dumps(phases)}")
 
     # Secondary metrics (stderr only; the driver records the one JSON line):
     # query throughput on host (native) and device paths.
@@ -254,6 +257,7 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 3),
         "mem_ratio_30x_vs_raw_input": round(mem_ratio_raw, 2),
         "mem_ratio_30x_vs_kmc_db": round(mem_ratio_db, 2),
+        "phases": phases,
     }))
 
 

@@ -50,14 +50,159 @@ def _open_maybe_gzip(path: str):
     return f
 
 
-def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24):
+class _RangeFile:
+    """Read-window view [start, end) of an uncompressed file: ``read`` clamps
+    at ``end``.  Range bounds come from split_byte_ranges, i.e. they are
+    record boundaries, so a consumer parsing this window never sees partial
+    records."""
+
+    def __init__(self, f, start: int, end: int):
+        self._f = f
+        self._end = end
+        f.seek(start)
+
+    def read(self, n: int = -1) -> bytes:
+        remaining = self._end - self._f.tell()
+        if remaining <= 0:
+            return b""
+        if n < 0 or n > remaining:
+            n = remaining
+        return self._f.read(n)
+
+    def peek(self, n: int = 1) -> bytes:
+        pos = self._f.tell()
+        b = self.read(n)
+        self._f.seek(pos)
+        return b
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _open_input(path: str, byte_range: tuple[int, int] | None = None):
+    """Open ``path`` for streaming; with ``byte_range`` (record-aligned, from
+    split_byte_ranges) only that window is readable.  Gzipped inputs cannot
+    be range-split (no random access) — resolve them whole-file upstream."""
+    if byte_range is None:
+        return _open_maybe_gzip(path)
+    f = open(path, "rb")
+    if f.read(2) == b"\x1f\x8b":
+        f.close()
+        raise ValueError(
+            f"{path}: gzipped inputs cannot be split by byte range; "
+            "assign whole files per host instead"
+        )
+    return _RangeFile(f, *byte_range)
+
+
+def _record_start_at_or_after(f, pos: int, size: int, is_fasta: bool) -> int:
+    """Absolute offset of the first record start at or after byte ``pos``.
+
+    FASTA: the next line starting with '>'.  FASTQ: the next line starting
+    with '@' whose line-after-next starts with '+' — quality lines may begin
+    with '@' too, but then the line two later is a sequence line, which never
+    begins with '+' (the 4-line record structure disambiguates).  Returns
+    ``size`` when no further record exists.
+
+    Streams forward from ``pos`` keeping the invariant that every line start
+    inside the scan buffer is preceded by its '\\n' inside the buffer (the
+    buffer begins at pos-1), so starts are never missed at chunk seams; the
+    buffer is trimmed to the last newline (or to the first still-unresolved
+    candidate) each round, bounding memory even for genome-long FASTA lines."""
+    if pos <= 0:
+        return 0
+    if pos >= size:
+        return size
+    base = pos - 1  # absolute offset of buf[0]
+    f.seek(base)
+    buf = b""
+    eof = False
+    marker = ord(">") if is_fasta else ord("@")
+    while True:
+        if not eof:
+            chunk = f.read(1 << 20)
+            eof = not chunk
+            buf += chunk
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        nls = np.flatnonzero(arr == 10)
+        starts = nls + 1
+        starts = starts[starts < len(arr)]
+        cand = starts[arr[starts] == marker]
+        if is_fasta:
+            if len(cand):
+                return base + int(cand[0])
+        else:
+            unresolved = -1
+            for c in cand:
+                c = int(c)
+                j1 = buf.find(b"\n", c)
+                j2 = buf.find(b"\n", j1 + 1) if j1 >= 0 else -1
+                if j1 < 0 or j2 < 0 or j2 + 1 >= len(buf):
+                    if eof:
+                        continue  # truncated record at EOF: not a start
+                    unresolved = c
+                    break
+                if buf[j2 + 1] == ord("+"):
+                    return base + c
+            if unresolved >= 0:
+                keep = unresolved - 1  # keep the '\n' preceding the candidate
+                base += keep
+                buf = buf[keep:]
+                continue
+        if eof:
+            return size
+        if len(nls):  # drop fully-scanned lines; keep the final newline
+            keep = int(nls[-1])
+            base += keep
+            buf = buf[keep:]
+        elif len(buf) > 1:  # giant line, no newline yet: keep one byte
+            base += len(buf) - 1
+            buf = buf[-1:]
+
+
+def split_byte_ranges(path: str, n_parts: int) -> list[tuple[int, int]]:
+    """Split one UNCOMPRESSED FASTQ/FASTA file into ``n_parts`` byte ranges
+    aligned to record starts (every range begins exactly at a record header,
+    ranges cover the file disjointly).  This is how one genome-scale input
+    file is divided across hosts without any host parsing the whole thing
+    (the reference feeds one file to kmc, main.cpp:137; multi-host data
+    parallelism over reads is SURVEY.md §5's design).  Gzip → ValueError."""
+    import os
+
+    size = os.path.getsize(path)
+    n_parts = max(1, int(n_parts))
+    with open(path, "rb") as f:
+        if f.read(2) == b"\x1f\x8b":
+            raise ValueError(f"{path}: cannot byte-range split gzipped input")
+        f.seek(0)
+        head = f.read(1)
+        is_fasta = head == b">"
+        bounds = [0]
+        for i in range(1, n_parts):
+            target = size * i // n_parts
+            pos = _record_start_at_or_after(f, target, size, is_fasta)
+            bounds.append(max(pos, bounds[-1]))
+        bounds.append(size)
+    return [(bounds[i], bounds[i + 1]) for i in range(n_parts)]
+
+
+def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24,
+                    byte_range: tuple[int, int] | None = None):
     """Yield (block_bytes, starts, ends) arrays of sequence-line spans.
 
     FASTQ: every 4th line starting from line 1.  FASTA: non-header lines
     (multi-line sequences appear as separate spans; k-mers do not cross FASTA
     line breaks in this implementation — matching typical one-line FASTA).
+    ``byte_range`` restricts parsing to a record-aligned window (see
+    split_byte_ranges).
     """
-    with _open_maybe_gzip(path) as f:
+    with _open_input(path, byte_range) as f:
         head = f.peek(1)[:1] if hasattr(f, "peek") else b""
         if not head:
             head = b"@"
@@ -134,13 +279,18 @@ class SegmentStream:
 
     def __init__(self, input_spec: str, k: int, seg_len: int = DEFAULT_SEG_LEN,
                  batch_segs: int = DEFAULT_BATCH_SEGS, use_native: bool = True,
-                 packed: bool = False):
+                 packed: bool = False,
+                 byte_range: tuple[int, int] | None = None):
         self.input_spec = input_spec
         self.k = k
         self.seg_len = seg_len
         self.batch_segs = batch_segs
         self.use_native = use_native
         self.packed = packed
+        self.byte_range = byte_range
+        if byte_range is not None:
+            assert len(resolve_inputs(input_spec)) == 1, \
+                "byte_range applies to a single input file"
         if packed:
             assert seg_len % 8 == 0, "packed mode needs seg_len % 8 == 0"
         self.reads = 0
@@ -186,7 +336,7 @@ class SegmentStream:
         buf = self._new_buf()
         row = 0
         for path in resolve_inputs(self.input_spec):
-            with _open_maybe_gzip(path) as f:
+            with _open_input(path, self.byte_range) as f:
                 head = f.peek(1)[:1] if hasattr(f, "peek") else b""
                 is_fasta = head == b">"
                 phase = 0
@@ -235,7 +385,8 @@ class SegmentStream:
         pend: list[np.ndarray] = []
         pend_rows = 0
         for path in resolve_inputs(self.input_spec):
-            for block, starts, ends in _iter_seq_spans(path):
+            for block, starts, ends in _iter_seq_spans(
+                    path, byte_range=self.byte_range):
                 self.reads += len(starts)
                 self.bases += int((ends - starts).sum())
                 segs = _segment_spans(block, starts, ends, self.k, self.seg_len)

@@ -77,6 +77,29 @@ def host_slice(paths: list[str]) -> list[str]:
     return [p for i, p in enumerate(paths) if i % n == pid]
 
 
+def _is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def host_input_slices(input_spec: str) -> list[tuple[str, tuple[int, int] | None]]:
+    """This process's (path, byte_range) work items.
+
+    A single uncompressed file is split by byte ranges at record boundaries
+    (io.fastq.split_byte_ranges) so one genome-scale FASTQ parses in
+    parallel across all hosts — the reference feeds exactly one such file
+    to kmc (main.cpp:137).  Multiple files (or gzip, which has no random
+    access) fall back to round-robin whole-file ownership."""
+    from kmcex_tpu.io import fastq
+
+    paths = fastq.resolve_inputs(input_spec)
+    pid, n = jax.process_index(), jax.process_count()
+    if len(paths) == 1 and n > 1 and not _is_gzip(paths[0]):
+        ranges = fastq.split_byte_ranges(paths[0], n)
+        return [(paths[0], ranges[pid])]
+    return [(p, None) for p in host_slice(paths)]
+
+
 def process_local_batch(mesh: Mesh, codes: np.ndarray):
     """Wrap this process's local batch rows as a globally sharded array.
 
@@ -91,9 +114,18 @@ def process_local_batch(mesh: Mesh, codes: np.ndarray):
 def distributed_count_fastq(input_spec: str, k: int, ci: int = 1,
                             cs: int = 1023, seg_len: int = 256,
                             batch_segs: int = 4096):
-    """Multi-host counting driver: each process streams its file slice,
-    batches are globally sharded, and the hash-routed sharded accumulator
-    (parallel/sharded.py) counts across all devices of all processes.
+    """Multi-host counting driver: each process streams its input slice
+    (byte ranges of one big file, or round-robin whole files —
+    host_input_slices), batches are globally sharded, and the hash-routed
+    sharded accumulator (parallel/sharded.py) counts across all devices of
+    all processes.
+
+    The all_to_all inside every count step requires ALL processes to step
+    in lockstep, but hosts' slices can yield different batch counts (byte
+    ranges are only approximately equal).  Each step therefore starts with
+    a tiny host allgather of "do I still have data"; hosts that ran dry
+    feed empty (all-padding) buffers, whose windows are fully masked, until
+    every host is done.
 
     Returns host-side (kmers, counts) — identical on every process (the
     per-shard tables are gathered; fine for model-building, which every
@@ -103,33 +135,50 @@ def distributed_count_fastq(input_spec: str, k: int, ci: int = 1,
     from kmcex_tpu.parallel.sharded import ShardedCountAccumulator
 
     mesh = global_mesh()
-    n = mesh.devices.size
-    paths = host_slice(fastq.resolve_inputs(input_spec))
+    items = host_input_slices(input_spec)
     # Global batch = batch_segs rows per device; each process contributes
     # rows for ITS devices only.
     local_dev = jax.local_device_count()
     local_rows = batch_segs * local_dev
     acc = ShardedCountAccumulator(mesh, k, batch_segs, seg_len)
-    buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
-    fill = 0
-    reads = bases = 0
-    for path in paths:
-        stream = fastq.SegmentStream(path, k, seg_len, local_rows,
-                                     use_native=True, packed=False)
-        for batch in stream:
-            take = min(local_rows - fill, len(batch))
-            buf[fill:fill + take] = batch[:take]
-            fill += take
-            if fill == local_rows:
-                acc.add_batch(process_local_batch(mesh, buf))
-                buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
-                fill = 0
-            if take < len(batch):
-                rem = batch[take:]
-                buf[: len(rem)] = rem
-                fill = len(rem)
-        reads += stream.reads
-        bases += stream.bases
-    if fill or not paths:
-        acc.add_batch(process_local_batch(mesh, buf))
+
+    def local_full_buffers():
+        """Yield [local_rows, seg_len] buffers; the final one may be partial
+        (padding rows are all-255, fully masked by the extract kernel)."""
+        buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+        fill = 0
+        for path, brange in items:
+            stream = fastq.SegmentStream(path, k, seg_len, local_rows,
+                                         use_native=True, packed=False,
+                                         byte_range=brange)
+            for batch in stream:
+                take = min(local_rows - fill, len(batch))
+                buf[fill:fill + take] = batch[:take]
+                fill += take
+                if fill == local_rows:
+                    yield buf
+                    buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+                    fill = 0
+                if take < len(batch):
+                    rem = batch[take:]
+                    buf[: len(rem)] = rem
+                    fill = len(rem)
+        if fill:
+            yield buf
+
+    it = local_full_buffers()
+    if jax.process_count() == 1:
+        for buf in it:
+            acc.add_batch(process_local_batch(mesh, buf))
+        return acc.finalize(ci, cs)
+    from jax.experimental import multihost_utils
+
+    empty = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+    while True:
+        nxt = next(it, None)
+        flags = multihost_utils.process_allgather(
+            np.array([0 if nxt is None else 1], dtype=np.int32))
+        if not int(np.asarray(flags).sum()):
+            break
+        acc.add_batch(process_local_batch(mesh, empty if nxt is None else nxt))
     return acc.finalize(ci, cs)

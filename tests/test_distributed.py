@@ -59,6 +59,38 @@ print("OK", len(kmers), flush=True)
 """
 
 
+COUNT_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+fq_path = sys.argv[4]
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from kmcex_tpu.parallel import distributed
+distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2
+
+# single big uncompressed file -> each process gets a byte range
+items = distributed.host_input_slices(fq_path)
+assert len(items) == 1 and items[0][1] is not None, items
+
+kmers, counts = distributed.distributed_count_fastq(
+    fq_path, k=9, ci=1, cs=1023, seg_len=32, batch_segs=4)
+np.savez(out_path, kmers=kmers, counts=counts)
+print("OK", len(kmers), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -114,3 +146,44 @@ def test_two_process_all_to_all_count(tmp_path):
     exp_c = np.array([want[int(x)] for x in exp_k], dtype=np.uint32)
     np.testing.assert_array_equal(r0["kmers"], exp_k)
     np.testing.assert_array_equal(r0["counts"], exp_c)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_count_fastq(tmp_path):
+    """The actual multi-host driver (distributed_count_fastq) on ONE big
+    uncompressed FASTQ: byte-range split across processes, lockstep batch
+    feeding (unequal per-host batch counts), equality with a single-process
+    count of the same file."""
+    from tests.test_byte_ranges import _write_fastq
+
+    fq = tmp_path / "big.fastq"
+    _write_fastq(fq, n_reads=350, seed=99)
+
+    worker = tmp_path / "count_worker.py"
+    worker.write_text(COUNT_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(pathlib.Path(__file__).parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = []
+    outs = [tmp_path / f"cnt{i}.npz" for i in range(2)]
+    for i in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(i), str(port), str(outs[i]), str(fq)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, (out.decode()[-2000:], err.decode()[-2000:])
+        assert b"OK" in out
+
+    r0, r1 = np.load(outs[0]), np.load(outs[1])
+    np.testing.assert_array_equal(r0["kmers"], r1["kmers"])
+    np.testing.assert_array_equal(r0["counts"], r1["counts"])
+
+    # single-process reference count over the same file
+    from kmcex_tpu.count.pipeline import count_fastq
+
+    want_k, want_c, _ = count_fastq(str(fq), k=9, ci=1, cs=1023,
+                                    seg_len=32, accumulator="host")
+    np.testing.assert_array_equal(r0["kmers"], want_k)
+    np.testing.assert_array_equal(r0["counts"], want_c)
