@@ -9,6 +9,16 @@ and jit-compiled once per (L, k).
 
 Cites: window walk kmc_file.cpp:991-1133 (GetCountersForRead), canonical
 min tools.hpp:146-167.
+
+Negative result (measured on v5e, round 2; the fused Pallas variant was
+removed in round 3): a hand-fused Pallas extract kernel — unpack + ladder +
+canonicalize in one VMEM pass — ran ~25% SLOWER than this XLA formulation
+(4.2ms vs 3.3ms per 65536x152 batch).  The op is bound by the k lane
+rotates, not HBM traffic: `tpu.dynamic_rotate` costs about one relayout of
+the block per step and XLA's unfused ladder pays the same shuffle per
+slice, so fusion has nothing to win; sliding windows over the lane axis
+have no cheap TPU formulation.  Extraction is ~2% of the count phase
+(28ms for 32M windows, 9.1GB/s of output), far from the bottleneck.
 """
 
 from __future__ import annotations
