@@ -81,11 +81,17 @@ def _merge_runs_kernel(ka, ca, kb, cb):
     # saturate at uint32 (counters clamp to cs far below this anyway)
     counts32 = jnp.minimum(counts, jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     key = jnp.where(valid, k, SENTINEL)
-    from kmcex_tpu.count.extract import sorted_u64_with_payload
-
-    uniq, counts_c = sorted_u64_with_payload(key, counts32)
     n_unique = jnp.sum(valid, dtype=jnp.int32)
-    counts_c = jnp.where(idxs < n_unique, counts_c, 0)
+    if sort_pallas.use_pallas_sort():
+        from kmcex_tpu.count import compact_pallas
+
+        uniq, counts_c = compact_pallas.compact_pairs(key, counts32)
+        uniq, counts_c = uniq[:n], counts_c[:n]
+    else:
+        from kmcex_tpu.count.extract import sorted_u64_with_payload
+
+        uniq, counts_c = sorted_u64_with_payload(key, counts32)
+        counts_c = jnp.where(idxs < n_unique, counts_c, 0)
     return uniq, counts_c, n_unique
 
 

@@ -137,11 +137,22 @@ def segment_compact(s: jnp.ndarray):
     next_b = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.array([n], jnp.int32)]))))
     run_len = jnp.minimum(next_b, n_real) - idxs  # valid at boundaries only
     counts = jnp.where(valid, run_len, 0)
-    # compaction: sort by (is-sentinel-or-dup key) carries counts along
     key = jnp.where(valid, s, SENTINEL)
-    uniq_c, counts_c = sorted_u64_with_payload(key, counts.astype(jnp.uint32))
     n_unique = jnp.sum(valid, dtype=jnp.int64)
-    counts_c = jnp.where(idxs < n_unique.astype(jnp.int32), counts_c, 0)
+    from kmcex_tpu.count import sort_pallas
+
+    if sort_pallas.use_pallas_sort():
+        # compaction: the log-shift kernel (count/compact_pallas) moves
+        # survivors to the front ~20x cheaper than re-sorting
+        from kmcex_tpu.count import compact_pallas
+
+        uniq_c, counts_c = compact_pallas.compact_pairs(
+            key, counts.astype(jnp.uint32))
+        uniq_c, counts_c = uniq_c[:n], counts_c[:n]
+    else:
+        # CPU fallback: sort by (is-sentinel-or-dup key) carries counts along
+        uniq_c, counts_c = sorted_u64_with_payload(key, counts.astype(jnp.uint32))
+        counts_c = jnp.where(idxs < n_unique.astype(jnp.int32), counts_c, 0)
     return uniq_c, counts_c.astype(jnp.uint32), n_unique
 
 

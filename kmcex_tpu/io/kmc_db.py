@@ -474,6 +474,18 @@ def write_kmc1(
         np.array([48], dtype="<u4").tofile(f)  # header_offset: 44B header + 4
         f.write(_MARKER)
 
+    rec = _build_records(kmers, counts, multiword, sufix_size, suf_bases, cbytes)
+    with open(path + ".kmc_suf", "wb") as f:
+        f.write(_MARKER_SUF)
+        rec.tofile(f)
+        f.write(_MARKER_SUF)
+
+
+def _build_records(kmers, counts, multiword: bool, sufix_size: int,
+                   suf_bases: int, cbytes: int) -> np.ndarray:
+    """Suffix+counter record bytes in storage order (kmc_file.cpp:457-494:
+    suffix bytes MSB-first base pairs, counter little-endian)."""
+    total = len(kmers)
     rec = np.zeros((total, sufix_size + cbytes), dtype=np.uint8)
     if multiword:
         for j in range(sufix_size):
@@ -486,6 +498,134 @@ def write_kmc1(
             rec[:, j] = ((suffix >> shift) & _U64(0xFF)).astype(np.uint8)
     for b in range(cbytes):
         rec[:, sufix_size + b] = ((counts >> _U64(8 * b)) & _U64(0xFF)).astype(np.uint8)
+    return rec
+
+
+def _balanced_signature_map(sigs: np.ndarray, sig_len: int, n_bins: int
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """signature -> bin map over all 4^m + 1 signature values.
+
+    KMC3 balances bins by observed m-mer statistics; we do the deterministic
+    equivalent with the data itself: signatures present in the input are
+    assigned greedily (heaviest first) to the lightest bin, absent
+    signatures round-robin by value.  ANY total map is semantically valid —
+    a k-mer is stored and looked up through the same map — the choice only
+    shapes bin sizes.  Returns (map u32[4^m + 1], bin id per input k-mer)."""
+    n_vals = (1 << (2 * sig_len)) + 1
+    sig_map = (np.arange(n_vals, dtype=np.int64) % n_bins).astype(np.uint32)
+    uniq, cnt = np.unique(sigs, return_counts=True)
+    order = np.argsort(cnt)[::-1]  # heaviest first
+    load = np.zeros(n_bins, dtype=np.int64)
+    for i in order:
+        b = int(np.argmin(load))
+        sig_map[uniq[i]] = b
+        load[b] += cnt[i]
+    return sig_map, sig_map[sigs].astype(np.int64)
+
+
+def write_kmc2(
+    path: str,
+    kmers_u64: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+    min_count: int = 1,
+    max_count: int = 0xFFFFFFFF,
+    counter_size: int | None = None,
+    lut_prefix_length: int | None = None,
+    signature_len: int = 9,
+    n_bins: int = 512,
+    mode: int = 0,
+    both_strands: bool = True,
+) -> None:
+    """Write a KMC2-format (version 0x200) database readable by the vendored
+    KMC API — the format the reference's own kmc binary emits
+    (kmc_file.cpp:188-234).
+
+    ``kmers_u64`` must be canonical and sorted ascending; records are
+    regrouped into signature bins (CMmer minimizer signatures,
+    core/signature.py == mmer.h:34-98): storage order is (bin, k-mer)
+    ascending, the prefix LUT holds ``n_bins x 4^p`` CSR starts followed by
+    one extra u64 (the vendored reader replaces it with its own sentinel,
+    kmc_file.cpp:223), then the ``4^m + 1``-entry signature map, the header
+    (k, mode, counter_size, p, signature_len, min/max count as u32; total
+    u64; both_strands byte), header_offset, version 0x200.
+
+    For k > 32 pass an [n, W] multi-word array."""
+    kmers = np.ascontiguousarray(kmers_u64, dtype=_U64)
+    multiword = kmers.ndim == 2
+    if multiword and k <= 32:
+        raise ValueError("multi-word kmers require k > 32")
+    if k > 32 and not multiword:
+        raise ValueError("k > 32 requires [n, W] multi-word kmers")
+    if signature_len >= k:
+        raise ValueError("signature_len must be < k")
+    counts = np.asarray(counts)
+    if mode == 1:
+        counts = counts.astype(np.float32).view(np.uint32).astype(np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.uint64)
+    keys = codec_mw.sort_key_mw(kmers) if multiword else kmers
+    if len(kmers) > 1 and not (keys[1:] > keys[:-1]).all():
+        raise ValueError("kmers must be strictly ascending")
+
+    # p: smallest valid prefix length (bins carry the selectivity in KMC2)
+    if lut_prefix_length is None:
+        for p in range(3, 8):
+            if (k - p) % 4 == 0:
+                lut_prefix_length = p
+                break
+        else:
+            raise ValueError(f"no valid lut prefix length for k={k}")
+    p = lut_prefix_length
+    if mode == 1:
+        cbytes = 4
+    else:
+        data_max = int(counts.max()) if len(counts) else 1
+        bound = data_max if max_count == 0xFFFFFFFF else max(data_max, int(max_count))
+        cbytes = counter_size or counter_size_for(bound)
+    suf_bases = k - p
+    sufix_size = suf_bases // 4
+    total = len(kmers)
+
+    if multiword:
+        sigs = codec_mw.signatures_mw(kmers, k, signature_len)
+        prefixes = codec_mw.extract_bits_mw(kmers, 2 * suf_bases, 2 * p).astype(np.int64)
+    else:
+        sigs = sig_mod.signatures(kmers, k, signature_len)
+        prefixes = (kmers >> _U64(2 * suf_bases)).astype(np.int64)
+    sig_map, bins = _balanced_signature_map(sigs, signature_len, n_bins)
+
+    # storage order: (bin, k-mer value); input is ascending so a stable
+    # bin sort keeps within-bin ascending order
+    order = np.argsort(bins, kind="stable")
+    kmers = kmers[order]
+    counts = counts[order]
+    prefixes = prefixes[order]
+    bins = bins[order]
+
+    single_lut = 1 << (2 * p)
+    n_lut = n_bins * single_lut
+    slot = bins * single_lut + prefixes
+    lut_full = np.zeros(n_lut, dtype=np.uint64)
+    cnts = np.bincount(slot, minlength=n_lut).astype(np.uint64)
+    lut_full[1:] = np.cumsum(cnts)[:-1]
+
+    with open(path + ".kmc_pre", "wb") as f:
+        f.write(_MARKER)
+        lut_full.astype("<u8").tofile(f)
+        # one extra u64 after the LUT: real KMC writes the final boundary;
+        # the vendored reader overwrites it with total+1 (kmc_file.cpp:223)
+        np.array([total], dtype="<u8").tofile(f)
+        sig_map.astype("<u4").tofile(f)
+        hdr32 = np.array([k, mode, cbytes, p, signature_len, min_count,
+                          min(max_count, 0xFFFFFFFF)], dtype="<u4")
+        hdr32.tofile(f)
+        np.array([total], dtype="<u8").tofile(f)
+        f.write(bytes([0 if both_strands else 1]) + b"\x00" * 3)
+        np.array([0x200], dtype="<u4").tofile(f)   # kmc_version at EOF-12
+        np.array([44], dtype="<u4").tofile(f)      # header_offset (40B hdr+4)
+        f.write(_MARKER)
+
+    rec = _build_records(kmers, counts, multiword, sufix_size, suf_bases, cbytes)
     with open(path + ".kmc_suf", "wb") as f:
         f.write(_MARKER_SUF)
         rec.tofile(f)

@@ -1,0 +1,70 @@
+"""Shift-compaction kernel (count/compact_pallas) vs brute force, interpret
+mode on CPU with shrunken blocks — same harness as test_sort_pallas."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from kmcex_tpu.count import compact_pallas as cp
+from kmcex_tpu.count import sort_pallas as sp
+
+S = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@pytest.fixture(autouse=True)
+def small_blocks(monkeypatch):
+    monkeypatch.setattr(sp, "BLK", 1 << 10)
+    monkeypatch.setattr(sp, "INTERPRET", True)
+
+
+def _check(keys, counts):
+    gk, gc = cp.compact_pairs(jnp.asarray(keys), jnp.asarray(counts))
+    gk, gc = np.asarray(gk), np.asarray(gc)
+    live = keys != S
+    wk, wc = keys[live], counts[live]
+    n = len(wk)
+    np.testing.assert_array_equal(gk[:n], wk)
+    np.testing.assert_array_equal(gc[:n], wc)
+    assert (gk[n:] == S).all()
+    assert (gc[n:] == 0).all()
+
+
+@pytest.mark.parametrize("n,frac,seed", [
+    (1 << 10, 0.5, 0), (1 << 12, 0.1, 1), (1 << 12, 0.9, 2),
+    (3000, 0.3, 3), ((1 << 12) - 7, 0.5, 4), (1000, 0.0, 5), (2048, 1.0, 6),
+])
+def test_compact_random(n, frac, seed):
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+    counts = rng.integers(0, 1 << 31, n).astype(np.uint32)
+    holes = rng.random(n) < frac
+    keys[holes] = S
+    counts[holes] = 0
+    _check(keys, counts)
+
+
+def test_compact_sorted_with_dup_holes():
+    """The actual pipeline shape: ascending keys, duplicate slots holed."""
+    rng = np.random.default_rng(42)
+    base = np.sort(rng.integers(0, 1 << 62, 4096, dtype=np.uint64))
+    rep = rng.integers(1, 5, 4096)
+    s = np.repeat(base, rep)[: 1 << 12]
+    first = np.concatenate([[True], s[1:] != s[:-1]])
+    keys = np.where(first, s, S)
+    counts = np.where(first, rng.integers(1, 100, len(s)), 0).astype(np.uint32)
+    _check(keys, counts)
+
+
+def test_compact_hole_runs():
+    """Long alternating runs of holes/survivors (worst case for shifts)."""
+    n = 1 << 12
+    keys = np.arange(n, dtype=np.uint64)
+    counts = np.ones(n, dtype=np.uint32)
+    keys[: n // 2] = S  # entire first half holes -> max displacement
+    counts[: n // 2] = 0
+    _check(keys, counts)
+    keys2 = np.arange(n, dtype=np.uint64)
+    counts2 = np.ones(n, dtype=np.uint32)
+    keys2[n // 2 :] = S  # second half holes -> zero displacement
+    counts2[n // 2 :] = 0
+    _check(keys2, counts2)
