@@ -123,7 +123,7 @@ def _compact_kernel(hi_ref, lo_ref, cnt_ref, ohi_ref, olo_ref, ocnt_ref,
     ohi_ref[0] = jnp.where(keep, hi, SENT32)
     olo_ref[0] = jnp.where(keep, lo, SENT32)
     ocnt_ref[0] = jnp.where(keep, cnt, jnp.uint32(0))
-    ov_ref[0] = v
+    ov_ref[0, 0] = v
 
 
 @functools.partial(jax.jit, static_argnums=())
@@ -132,7 +132,7 @@ def _compact_blocks(hi, lo, cnt):
     B, r, _ = hi.shape
     spec = pl.BlockSpec((1, r, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+    vspec = pl.BlockSpec((1, 1), lambda b: (b, 0), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         _compact_kernel,
         grid=(B,),
@@ -142,7 +142,7 @@ def _compact_blocks(hi, lo, cnt):
             jax.ShapeDtypeStruct(hi.shape, jnp.uint32),
             jax.ShapeDtypeStruct(lo.shape, jnp.uint32),
             jax.ShapeDtypeStruct(cnt.shape, jnp.uint32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         compiler_params=None if sort_pallas.INTERPRET else
         sort_pallas._COMPILER_PARAMS,
@@ -209,6 +209,7 @@ def compact_pairs(keys: jnp.ndarray, counts: jnp.ndarray):
     lo = keys.astype(jnp.uint32).reshape(B, r, LANES)
     cnt = counts.reshape(B, r, LANES)
     chi, clo, ccnt, v = _compact_blocks(hi, lo, cnt)
+    v = v.reshape(-1)
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(v)[:-1].astype(jnp.int32)])
     shi, slo, scnt = _stitch(offsets, chi.reshape(-1), clo.reshape(-1),

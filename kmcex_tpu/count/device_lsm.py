@@ -231,6 +231,23 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+def write_run_file(path: str, ku: np.ndarray, kc: np.ndarray) -> None:
+    """Spill one sorted (kmers, counts) run: u64 length, u64 keys, u32
+    counts (shared by the single-chip and sharded disk tiers)."""
+    with open(path, "wb") as f:
+        np.array([len(ku)], dtype="<u8").tofile(f)
+        ku.astype("<u8").tofile(f)
+        kc.astype("<u4").tofile(f)
+
+
+def open_run_file(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Memmap a spilled run (see write_run_file)."""
+    n = int(np.fromfile(path, dtype="<u8", count=1)[0])
+    km = np.memmap(path, dtype="<u8", mode="r", offset=8, shape=(n,))
+    cm = np.memmap(path, dtype="<u4", mode="r", offset=8 + 8 * n, shape=(n,))
+    return km, cm
+
+
 def _decode_filter(meta, ci: int):
     """Decode one _pack_run meta into ascending ci-filtered (kmers, counts)
     chunks (counts in the packed stream are already cs-clamped)."""
@@ -392,18 +409,12 @@ class DeviceCountAccumulator:
                 prefix="kmcex_lsm_")
         os.makedirs(self._disk_dir, exist_ok=True)
         path = os.path.join(self._disk_dir, f"run{len(self.disk_runs):04d}.bin")
-        with open(path, "wb") as f:
-            np.array([len(ku)], dtype="<u8").tofile(f)
-            ku.astype("<u8").tofile(f)
-            kc.astype("<u4").tofile(f)
+        write_run_file(path, ku, kc)
         self.disk_runs.append(path)
 
     @staticmethod
     def _open_disk_run(path: str) -> tuple[np.ndarray, np.ndarray]:
-        n = int(np.fromfile(path, dtype="<u8", count=1)[0])
-        km = np.memmap(path, dtype="<u8", mode="r", offset=8, shape=(n,))
-        cm = np.memmap(path, dtype="<u4", mode="r", offset=8 + 8 * n, shape=(n,))
-        return km, cm
+        return open_run_file(path)
 
     @staticmethod
     def _merge_streams(runs, chunk_elems: int = 1 << 22):

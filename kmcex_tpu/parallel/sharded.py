@@ -54,7 +54,11 @@ def owner_of(kmers: jnp.ndarray, n_shards: int) -> jnp.ndarray:
 
 def _route_local(kmers, n_valid, n: int, cap: int):
     """Local half of the exchange: group local k-mers by owner shard into
-    [n, cap] send buffers (SENTINEL padding), then all_to_all."""
+    [n, cap] send buffers (SENTINEL padding), then all_to_all.  Also returns
+    the global count of REAL k-mers that overflowed their destination
+    buffer (the caller re-routes the batch with worst-case capacity when
+    nonzero — degenerate inputs like poly-A reads can send everything to
+    one shard, which no statistical bound covers)."""
     owner = owner_of(kmers, n)
     order = jnp.argsort(owner)
     kmers_s = kmers[order]
@@ -66,24 +70,43 @@ def _route_local(kmers, n_valid, n: int, cap: int):
     send = send.at[owner_s, jnp.where(ok, slot, 0)].set(
         jnp.where(ok, kmers_s, extract.SENTINEL)
     )
+    dropped = jax.lax.psum(
+        jnp.sum(~ok & (kmers_s != extract.SENTINEL), dtype=jnp.int64), "shard")
     recv = jax.lax.all_to_all(send, "shard", split_axis=0, concat_axis=0, tiled=True)
+    # replicated max-over-shards real count (pmax so every process can read it)
+    n_real = jax.lax.pmax(
+        jnp.sum(recv != extract.SENTINEL, dtype=jnp.int64), "shard")
     windows = jax.lax.psum(n_valid, "shard")
-    return recv.reshape(1, -1), windows
+    return recv.reshape(1, -1), windows, dropped, n_real
+
+
+def default_route_capacity(seg_rows: int, W: int, n: int) -> int:
+    """Measured-bound routing capacity: the owner hash spreads k-mers
+    ~binomially over shards (stddev sqrt(total/n)), so 2.2x the mean plus a
+    floor covers any statistically plausible skew; genuinely degenerate
+    inputs overflow and trigger a worst-case re-route (see _route_local).
+    Versus the old always-worst-case buffers this cuts all_to_all bytes and
+    raw-tier HBM by ~n/2."""
+    worst = seg_rows * W
+    mean = -(-seg_rows * W // n)
+    cap = max(1024, ((int(2.2 * mean) + 127) // 128) * 128)
+    return min(worst, cap)
 
 
 def build_route_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
                      capacity: int | None = None, packed: bool = False):
-    """Jitted routing step: one input batch -> per-shard RAW routed k-mers
-    ([n_shards, n*cap] sharded, SENTINEL-padded) + global window count.
-    No sorting here — raw tiers collapse later, amortizing the sort.
+    """Jitted routing step: one input batch -> (per-shard RAW routed k-mers
+    [n_shards, n*cap] sharded SENTINEL-padded, global window count, global
+    overflow count, per-shard real k-mer counts).  No sorting here — raw
+    tiers collapse later, amortizing the sort.
 
     ``capacity`` is the per-destination routing buffer (static shape for
-    all_to_all); defaults to the worst case (every local k-mer to one
-    shard), which is always exact.  ``packed`` selects the 2-bit transfer
-    format (io/fastq packed segment batches)."""
+    all_to_all); defaults to default_route_capacity's measured bound.
+    ``packed`` selects the 2-bit transfer format (io/fastq packed segment
+    batches)."""
     n = mesh.devices.size
     W = seg_len - k + 1
-    cap = capacity or seg_rows * W
+    cap = capacity or default_route_capacity(seg_rows, W, n)
 
     if packed:
         def local_step(packed_b, maskbits):
@@ -99,7 +122,7 @@ def build_route_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
         in_specs = P("shard")
     return jax.jit(
         jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
-                      out_specs=(P("shard"), P()))
+                      out_specs=(P("shard"), P(), P(), P()))
     )
 
 
@@ -149,7 +172,7 @@ def build_sharded_count_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
 
     def local_step(codes):
         kmers, n_valid = extract.extract_canonical(codes, k)
-        recv, windows = _route_local(kmers, n_valid, n, cap)
+        recv, windows, _, _ = _route_local(kmers, n_valid, n, cap)
         uniq, counts, n_unique = extract.sort_count_unique(recv.reshape(-1))
         return uniq[None, :], counts[None, :], n_unique[None], windows
 
@@ -173,46 +196,84 @@ def _pull(arr) -> np.ndarray:
 class ShardedCountAccumulator:
     """Streaming multi-chip counting: every batch is extracted and routed to
     owner shards, raw routed k-mers buffer per shard and collapse by one
-    sort+count pass per tier, collapsed runs merge in a per-shard LSM, and
-    oversized runs spill to host RAM — the multi-chip mirror of
+    sort+count pass per tier, collapsed runs merge in a per-shard LSM,
+    oversized runs spill to host RAM, and past a RAM budget runs stream to
+    disk — full feature parity with the single-chip
     count/device_lsm.DeviceCountAccumulator (SURVEY.md §5's distributed
-    backend; the reference's only parallelism is OpenMP, kmodel.hpp:93,561).
+    backend; KMC's external-memory bins rebuilt for a mesh).
+
+    Routing buffers use a measured statistical bound instead of worst-case
+    (default_route_capacity); a batch whose hash skew overflows it is
+    re-routed once with worst-case buffers (collective-safe: the overflow
+    count is a psum, identical on every process).
     """
 
-    RAW_TIER_ELEMS = 32 << 20   # per-shard raw k-mers before a collapse
+    RAW_TIER_ELEMS = 32 << 20   # per-shard raw k-mer slots before a collapse
     SPILL_THRESHOLD = 64 << 20  # per-shard run size that leaves HBM
+    DISK_SPILL_BYTES = 16 << 30  # host-RAM budget before runs go to disk
 
     def __init__(self, mesh: Mesh, k: int, seg_rows: int, seg_len: int,
                  packed: bool = False, raw_tier_elems: int | None = None,
-                 spill_threshold: int | None = None):
+                 spill_threshold: int | None = None,
+                 capacity: int | None = None,
+                 disk_spill_bytes: int | None = None,
+                 disk_dir: str | None = None):
+        import os as _os
+
         self.mesh = mesh
         self.k = k
         self.n = mesh.devices.size
         self.seg_rows = seg_rows
         self.seg_len = seg_len
-        self.step = build_route_step(mesh, k, seg_rows, seg_len, packed=packed)
+        self._packed = packed
+        self.step = build_route_step(mesh, k, seg_rows, seg_len,
+                                     capacity=capacity, packed=packed)
+        self._full_step = None  # lazily built worst-case re-route
+        self.reroutes = 0
         self.collapse = build_sharded_collapse(mesh)
         self.merge = build_sharded_merge(mesh)
         self.raw_tier_elems = raw_tier_elems or self.RAW_TIER_ELEMS
         self.spill_threshold = spill_threshold or self.SPILL_THRESHOLD
+        if disk_spill_bytes is None:
+            disk_spill_bytes = int(_os.environ.get(
+                "KMCEX_DISK_SPILL_BYTES", self.DISK_SPILL_BYTES))
+        self.disk_spill_bytes = disk_spill_bytes
+        self._disk_dir_arg = disk_dir
+        self._disk_dir: str | None = None
         self.raw: list = []          # [n, R_i] sharded raw arrays
-        self.raw_elems = 0           # per-shard raw element count
+        self.raw_elems = 0           # per-shard raw SLOT count (memory bound)
+        self.raw_real = 0            # real k-mers buffered (diagnostics)
         self.runs: list[tuple] = []  # (uniq [n, M], counts [n, M], M)
-        self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
+        # host LSM level, per shard: lists of sorted (kmers, counts) runs
+        self.host_runs: list[list[tuple[np.ndarray, np.ndarray]]] = [
+            [] for _ in range(self.n)]
+        self.disk_runs: list[list[str]] = [[] for _ in range(self.n)]
         self.total_windows = 0
 
+    def _route(self, *args):
+        recv, windows, dropped, n_real = self.step(*args)
+        if int(dropped):
+            # degenerate hash skew: redo this batch with exact buffers
+            if self._full_step is None:
+                W = self.seg_len - self.k + 1
+                self._full_step = build_route_step(
+                    self.mesh, self.k, self.seg_rows, self.seg_len,
+                    capacity=self.seg_rows * W, packed=self._packed)
+            self.reroutes += 1
+            recv, windows, _, n_real = self._full_step(*args)
+        return recv, int(windows), int(n_real)
+
     def add_batch(self, codes) -> None:
-        recv, windows = self.step(codes)
-        self._push_raw(recv, int(windows))
+        self._push_raw(*self._route(codes))
 
     def add_batch_packed(self, packed, maskbits) -> None:
-        recv, windows = self.step(packed, maskbits)
-        self._push_raw(recv, int(windows))
+        self._push_raw(*self._route(packed, maskbits))
 
-    def _push_raw(self, recv, windows: int) -> None:
+    def _push_raw(self, recv, windows: int, real_max: int) -> None:
         self.total_windows += windows
         self.raw.append(recv)
         self.raw_elems += recv.shape[1]
+        self.raw_real += real_max
         if self.raw_elems >= self.raw_tier_elems:
             self._collapse_raw()
 
@@ -222,6 +283,7 @@ class ShardedCountAccumulator:
         u, c, _ = self.collapse(tuple(self.raw))
         self.raw = []
         self.raw_elems = 0
+        self.raw_real = 0
         self._push_run(u, c)
 
     def _push_run(self, u, c) -> None:
@@ -238,29 +300,75 @@ class ShardedCountAccumulator:
                 break
             self.runs.append((u2, c2, u2.shape[1]))
 
+    # -- host + disk tiers -------------------------------------------------
     def _spill(self, u, c) -> None:
-        """Pull a per-shard run set to host RAM: per-shard partitions are
-        concatenated shard-major (each shard's slice stays sorted), then
-        folded into per-shard host run lists by the native merge."""
+        """Pull a per-shard run set to host RAM and fold it into each
+        shard's size-tiered host run list (native two-pointer merges)."""
         ku = _pull(u)
         kc = _pull(c).astype(np.uint32, copy=False)
         from kmcex_tpu import native
 
-        parts_k, parts_c = [], []
         for s in range(self.n):
             row_k, row_c = ku[s], kc[s]
             real = row_k != np.uint64(0xFFFFFFFFFFFFFFFF)
-            parts_k.append(row_k[real])
-            parts_c.append(row_c[real])
-        # merge against the existing host level, shard by shard
-        if not self.host_runs:
-            self.host_runs = [(parts_k[s], parts_c[s]) for s in range(self.n)]
-        else:
-            self.host_runs = [
-                native.merge_runs(self.host_runs[s][0], self.host_runs[s][1],
-                                  parts_k[s], parts_c[s])
-                for s in range(self.n)
-            ]
+            rk, rc = row_k[real], row_c[real]
+            if not len(rk):
+                continue
+            lst = self.host_runs[s]
+            lst.append((rk, rc))
+            while (len(lst) >= 2
+                   and len(lst[-2][0]) < 2 * len(lst[-1][0])):
+                kb, cb = lst.pop()
+                ka, ca = lst.pop()
+                lst.append(native.merge_runs(ka, ca, kb, cb))
+        self._maybe_spill_to_disk()
+
+    def _host_bytes(self) -> int:
+        return sum(12 * len(k) for lst in self.host_runs for k, _ in lst)
+
+    def _maybe_spill_to_disk(self) -> None:
+        if not self.disk_spill_bytes:
+            return
+        from kmcex_tpu.count import device_lsm
+
+        while self._host_bytes() > self.disk_spill_bytes:
+            # drop the biggest run of the heaviest shard to disk
+            s = max(range(self.n),
+                    key=lambda i: sum(len(k) for k, _ in self.host_runs[i]))
+            if not self.host_runs[s]:
+                return
+            ku, kc = self.host_runs[s].pop(0)  # cascade keeps largest first
+            if self._disk_dir is None:
+                import tempfile
+
+                self._disk_dir = self._disk_dir_arg or tempfile.mkdtemp(
+                    prefix="kmcex_sharded_")
+            import os
+
+            os.makedirs(self._disk_dir, exist_ok=True)
+            path = os.path.join(
+                self._disk_dir,
+                f"s{s:03d}_run{len(self.disk_runs[s]):04d}.bin")
+            device_lsm.write_run_file(path, ku, kc)
+            self.disk_runs[s].append(path)
+
+    def close(self) -> None:
+        """Delete disk-tier files (idempotent; mirrors
+        DeviceCountAccumulator.close)."""
+        import os
+        import shutil
+
+        for lst in self.disk_runs:
+            for p in lst:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        self.disk_runs = [[] for _ in range(self.n)]
+        if self._disk_dir is not None:
+            if self._disk_dir_arg is None:
+                shutil.rmtree(self._disk_dir, ignore_errors=True)
+            self._disk_dir = None
 
     def _merge_all_device(self):
         self._collapse_raw()
@@ -270,43 +378,68 @@ class ShardedCountAccumulator:
             u, c, _ = self.merge(ka, ca, kb, cb)
             self.runs.append((u, c, u.shape[1]))
 
-    def _host_table(self, ci: int, cs: int) -> tuple[np.ndarray, np.ndarray]:
-        """Merge everything down to one global host-side sorted table."""
+    def _run_sources(self):
+        """Every sorted run (RAM arrays + disk memmaps) across all shards.
+        Shards partition the key space by HASH (interleaved, not ranged),
+        so the global ascending stream is a flat k-way merge over all of
+        them — device_lsm._merge_streams does exactly that with bounded
+        memory."""
+        from kmcex_tpu.count import device_lsm
+
+        src = []
+        for s in range(self.n):
+            src += [device_lsm.open_run_file(p) for p in self.disk_runs[s]]
+            src += list(self.host_runs[s])
+        return src
+
+    def _drain_to_host(self) -> None:
         self._merge_all_device()
         if self.runs:
             u, c, _ = self.runs.pop()
             self._spill(u, c)
-        if not self.host_runs:
-            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
-        ku = np.concatenate([r[0] for r in self.host_runs])
-        kc = np.concatenate([r[1] for r in self.host_runs])
-        keep = kc >= ci
-        ku, kc = ku[keep], np.minimum(kc[keep], np.uint32(cs))
-        order = np.argsort(ku, kind="stable")
-        return ku[order], kc[order]
 
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF):
-        """Returns global host-side (kmers, counts) sorted ascending."""
-        return self._host_table(ci, cs)
+        """Global host-side (kmers, counts) sorted ascending.  Materializes
+        the table — bounded by the RAM budget unless disk runs exist; use
+        finalize_stream for the out-of-core regime."""
+        total, hist, it = self.finalize_stream(ci, cs)
+        parts = list(it)
+        if not parts:
+            return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint32)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
 
     def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF,
                         n_chunks: int = 16):
         """Streaming finalize with the same (total, low_hist, chunk_iter)
-        contract as DeviceCountAccumulator.finalize_stream, so the encode
-        pipeline can consume either accumulator."""
-        kmers, counts = self._host_table(ci, cs)
-        total = len(kmers)
-        hist = np.array(
-            [np.count_nonzero(counts == ci + i) for i in range(3)],
-            dtype=np.int64,
-        )
-        m = max(1, -(-total // max(n_chunks, 1)))
+        contract as DeviceCountAccumulator.finalize_stream: ascending
+        ci-filtered cs-clamped chunks, host memory bounded by
+        (n_runs + 1) merge windows — never the whole table.  ``n_chunks``
+        is kept for API compatibility."""
+        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
 
-        def it():
-            for a in range(0, total, m):
-                yield kmers[a : a + m], counts[a : a + m]
+        self._drain_to_host()
+        sources = self._run_sources()
+        if not sources:
+            return 0, np.zeros(3, dtype=np.int64), iter(())
+        # pass 1: totals + low-counter histogram (the encode sizing pass)
+        total = 0
+        hist = np.zeros(3, dtype=np.int64)
+        for mk, mc in DeviceCountAccumulator._merge_streams(sources):
+            total += int(np.count_nonzero(mc >= ci))
+            for i in range(3):
+                hist[i] += int(np.count_nonzero(mc == ci + i))
 
-        return total, hist, it()
+        def chunks():
+            try:
+                for mk, mc in DeviceCountAccumulator._merge_streams(sources):
+                    keep = mc >= ci
+                    if keep.any():
+                        yield mk[keep], np.minimum(mc[keep], np.uint32(cs))
+            finally:
+                self.close()
+
+        return total, hist, chunks()
 
 
 def sharded_count(codes: np.ndarray, mesh: Mesh, k: int):

@@ -88,9 +88,85 @@ def test_sharded_accumulator_tiers_and_spill():
         codes = _random_codes(rng, rows, L)
         acc.add_batch(codes)
         ref.add_batch(codes)
-    assert acc.host_runs, "spill threshold should have triggered"
+    assert any(acc.host_runs), "spill threshold should have triggered"
     got_k, got_c = acc.finalize(ci=2, cs=255)
     want_k, want_c = ref.finalize(ci=2, cs=255)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_sharded_disk_spill_tier(tmp_path):
+    """Tiny thresholds force the sharded accumulator through the DISK tier;
+    both finalize flavors must agree with the single-chip accumulator
+    (mirrors test_device_lsm.test_disk_spill_tier for the mesh path)."""
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(29)
+    k = 15
+    n = 8
+    rows, L = 16, 48
+    batches = [_random_codes(rng, rows, L) for _ in range(9)]
+    mesh = sharded.make_mesh(n)
+    acc = sharded.ShardedCountAccumulator(
+        mesh, k, rows // n, L, raw_tier_elems=64, spill_threshold=256,
+        disk_spill_bytes=2048, disk_dir=str(tmp_path / "lsm"))
+    ref = DeviceCountAccumulator(k)
+    for codes in batches:
+        acc.add_batch(codes)
+        ref.add_batch(codes)
+    assert any(acc.disk_runs), "disk tier never engaged"
+    total, hist, chunks = acc.finalize_stream(ci=1, cs=0xFFFFFFFF)
+    got_k, got_c = [], []
+    prev_last = -1
+    for ku, kc in chunks:
+        assert int(ku[0]) > prev_last  # globally ascending stream
+        prev_last = int(ku[-1])
+        got_k.append(ku)
+        got_c.append(kc)
+    got_k = np.concatenate(got_k)
+    got_c = np.concatenate(got_c)
+    want_k, want_c = ref.finalize(ci=1)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+    assert total == len(want_k)
+    for i in range(3):
+        assert hist[i] == int(np.count_nonzero(want_c == 1 + i))
+    import os
+
+    assert not any(acc.disk_runs) and acc._disk_dir is None, "disk not cleaned"
+
+    # non-streaming finalize takes the same path
+    acc2 = sharded.ShardedCountAccumulator(
+        mesh, k, rows // n, L, raw_tier_elems=64, spill_threshold=256,
+        disk_spill_bytes=2048, disk_dir=str(tmp_path / "lsm2"))
+    for codes in batches:
+        acc2.add_batch(codes)
+    fk, fc = acc2.finalize(ci=1)
+    np.testing.assert_array_equal(fk, want_k)
+    np.testing.assert_array_equal(fc, want_c)
+
+
+def test_route_capacity_overflow_reroutes():
+    """Degenerate input (every window the same k-mer -> one owner shard)
+    overflows the measured-bound routing buffers; the accumulator must
+    detect it and re-route with worst-case capacity, losing nothing."""
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    k = 15
+    n = 8
+    rows, L = 512, 48  # big enough that the measured cap < worst case
+    mesh = sharded.make_mesh(n)
+    # poly-C reads: every window is the same canonical k-mer
+    codes = np.full((rows, L), 1, dtype=np.uint8)
+    acc = sharded.ShardedCountAccumulator(mesh, k, rows // n, L)
+    cap = sharded.default_route_capacity(rows // n, L - k + 1, n)
+    assert cap < (rows // n) * (L - k + 1), "test needs a sub-worst-case cap"
+    ref = DeviceCountAccumulator(k)
+    acc.add_batch(codes)
+    ref.add_batch(codes)
+    assert acc.reroutes == 1, "overflow should have triggered a re-route"
+    got_k, got_c = acc.finalize(ci=1)
+    want_k, want_c = ref.finalize(ci=1)
     np.testing.assert_array_equal(got_k, want_k)
     np.testing.assert_array_equal(got_c, want_c)
 
