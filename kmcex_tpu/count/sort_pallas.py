@@ -162,7 +162,7 @@ def _finish_network(planes, r, asc_i, idx):
                          idx)
 
 
-def _block_sort_kernel(*refs, n_planes):
+def _block_sort_kernel(*refs, n_planes, force_asc=False):
     ins = refs[:n_planes]
     outs = refs[n_planes:]
     planes = tuple(ref[0] for ref in ins)
@@ -170,22 +170,27 @@ def _block_sort_kernel(*refs, n_planes):
     row = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, LANES), 1)
     idx = lane * r + row  # column-major logical index
-    parity_int = pl.program_id(0) & 1  # 0 = ascending block
+    if force_asc:
+        parity_int = jnp.int32(0)  # every block ascending (compaction path)
+    else:
+        parity_int = pl.program_id(0) & 1  # 0 = ascending block
     planes = _block_network(planes, r, idx, parity_int)
     for o, v in zip(outs, planes):
         o[0] = v
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _block_sort(tiles, n_planes: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _block_sort(tiles, n_planes: int, force_asc: bool = False):
     """tiles: tuple of [B, R, 128] u32 planes -> each block bitonic-sorted
-    (alternately ascending/descending by block parity)."""
+    (alternately ascending/descending by block parity; all ascending with
+    ``force_asc`` — used by compact_pallas where blocks are independent)."""
     B = tiles[0].shape[0]
     r = tiles[0].shape[1]
     spec = pl.BlockSpec((1, r, LANES), lambda b: (b, b * 0, b * 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_block_sort_kernel, n_planes=n_planes),
+        functools.partial(_block_sort_kernel, n_planes=n_planes,
+                          force_asc=force_asc),
         grid=(B,),
         in_specs=[spec] * n_planes,
         out_specs=tuple([spec] * n_planes),

@@ -34,8 +34,10 @@ def _check(keys, counts):
     (3000, 0.3, 3), ((1 << 12) - 7, 0.5, 4), (1000, 0.0, 5), (2048, 1.0, 6),
 ])
 def test_compact_random(n, frac, seed):
+    """compact_pairs' contract: valid keys ascending + distinct (what the
+    sorted, boundary-marked pipeline arrays look like), holes anywhere."""
     rng = np.random.default_rng(seed)
-    keys = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+    keys = np.sort(rng.choice(1 << 62, size=n, replace=False).astype(np.uint64))
     counts = rng.integers(0, 1 << 31, n).astype(np.uint32)
     holes = rng.random(n) < frac
     keys[holes] = S
