@@ -156,6 +156,21 @@ def main() -> None:
                 dm.kmer_to_occ(q)
                 best_q = min(best_q, time.time() - t0)
             log(f"device kmer_to_occ: {nq / best_q / 1e6:.2f} Mqueries/s")
+            # compute-only roofline: device-resident queries, no host link
+            import jax as _jax
+
+            qd = _jax.device_put(q[: dm.TILE])
+            _jax.block_until_ready(qd)
+            o, amb = dm._main(qd)
+            np.asarray(o[:8])
+            reps = 8
+            t0 = time.time()
+            outs = [dm._main(qd) for _ in range(reps)]
+            for o, amb in outs:
+                np.asarray(o[:8])  # force full execution
+            t_main = (time.time() - t0) / reps
+            log(f"device kmer_to_occ compute-only (phase 1, device-resident "
+                f"input): {dm.TILE / t_main / 1e6:.2f} Mqueries/s")
         except Exception as e:
             log(f"query benchmark skipped: {e}")
 

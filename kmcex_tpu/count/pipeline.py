@@ -151,22 +151,26 @@ def count_encode(
                 acc.add_batch_packed(packed, maskbits)
         with ph.phase("merge+stats"):
             total, low_hist, chunks = acc.finalize_stream(ci, cs)
-        # a producer thread owns the device->host pulls + delta decode so the
-        # (GIL-releasing) native encode on the main thread overlaps them
-        chunks = prefetch_iterator(chunks, depth=4)
-        t_count = time.time() - t0
+        # a producer thread owns the device->host pulls, the delta decode AND
+        # the per-chunk counter routing (model.kmodel.split_chunk) so the
+        # (GIL-releasing) native encode on the main thread only feeds
+        from kmcex_tpu.model.kmodel import split_chunk
 
+        bf_num = 1 if ci == 1 else 3
         collected: list[tuple[np.ndarray, np.ndarray]] = []
 
-        def tee():
-            for ku, kc in chunks:
-                if keep_pairs:
-                    collected.append((ku, kc))
-                yield ku, kc
+        def produce(item):
+            ku, kc = item
+            if keep_pairs:
+                collected.append((ku, kc))
+            return split_chunk(ku, kc, ci, bf_num)
+
+        chunks = prefetch_iterator(chunks, depth=4, transform=produce)
+        t_count = time.time() - t0
 
         km = get_model(ci, cs, num_hash, num_bit)
         with ph.phase("transfer+encode"):
-            km.init_from_chunks(tee(), k, total, low_hist)
+            km.init_from_chunks(chunks, k, total, low_hist)
         for name, secs in getattr(km, "encode_phases", {}).items():
             ph.add(f"encode.{name}", secs)
         t_total = time.time() - t0

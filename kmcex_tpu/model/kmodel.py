@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import pathlib
 import time
+import typing
 
 import numpy as np
 
@@ -34,6 +35,27 @@ from kmcex_tpu.model.rest import KRestData
 _U64 = np.uint64
 
 BUCKET_SIZE = 1 << 18  # reference km insertion bucket (kmodel.hpp:276)
+
+
+class PreSplitChunk(typing.NamedTuple):
+    """A chunk already routed by counter (see split_chunk): the producer
+    thread pays the numpy masking cost so the encode thread only feeds."""
+
+    arr_kmers: np.ndarray
+    arr_counts: np.ndarray
+    lows: tuple  # bf_num arrays: k-mers with counter == ci + i
+
+
+def split_chunk(kmers_u64: np.ndarray, counts: np.ndarray, ci: int,
+                bf_num: int) -> PreSplitChunk:
+    """Route one (kmers, counts) chunk by counter (kmodel.hpp:68-74's
+    per-record branch, vectorized): low counters to the Bloom bank, the
+    rest to the coupled arrays."""
+    kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
+    counts = np.ascontiguousarray(counts, dtype=np.uint32)
+    low_mask = counts < ci + bf_num
+    lows = tuple(kmers_u64[counts == ci + i] for i in range(bf_num))
+    return PreSplitChunk(kmers_u64[~low_mask], counts[~low_mask], lows)
 
 
 class KModel:
@@ -153,16 +175,19 @@ class KModel:
                 ph["chunk_wait"] += time.time() - t
                 if item is None:
                     break
-                kmers_u64, counts = item
-                t = time.time()
-                kmers_u64 = np.ascontiguousarray(kmers_u64, dtype=_U64)
-                counts = np.ascontiguousarray(counts, dtype=np.uint32)
-                low_mask = counts < self.ci + self.bf_num
-                arr_kmers = kmers_u64[~low_mask]
-                arr_counts = counts[~low_mask]
-                for i in range(self.bf_num):
-                    bloom_q.put((i, kmers_u64[counts == self.ci + i]))
-                ph["route_split"] += time.time() - t
+                if isinstance(item, PreSplitChunk):
+                    # routing already paid on the producer thread
+                    arr_kmers, arr_counts = item.arr_kmers, item.arr_counts
+                    for i, low in enumerate(item.lows):
+                        bloom_q.put((i, low))
+                else:
+                    kmers_u64, counts = item
+                    t = time.time()
+                    sp = split_chunk(kmers_u64, counts, self.ci, self.bf_num)
+                    arr_kmers, arr_counts = sp.arr_kmers, sp.arr_counts
+                    for i, low in enumerate(sp.lows):
+                        bloom_q.put((i, low))
+                    ph["route_split"] += time.time() - t
                 if len(arr_kmers):
                     t = time.time()
                     enc.feed(arr_kmers, arr_counts)

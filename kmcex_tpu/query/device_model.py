@@ -41,8 +41,13 @@ def _seed_matrix(n_bits: int, n_hash: int) -> np.ndarray:
 
 
 def _gather_bits(bits: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """MSB-first bit gather from a uint8 array (kmodel.hpp:584-588)."""
-    byte = (pos >> _U64(3)).astype(jnp.int64)
+    """MSB-first bit gather from a uint8 array (kmodel.hpp:584-588).
+
+    Byte indices are i32: every model table is far below 2^31 bytes (the
+    reference's own sizes are counts>>4 scaled, kmodel.hpp:411-456), and
+    32-bit gather indices halve the index-tensor bytes feeding the gather —
+    the query path's dominant HBM traffic."""
+    byte = (pos >> _U64(3)).astype(jnp.int32)
     shift = (jnp.uint8(7) - (pos & _U64(7)).astype(jnp.uint8))
     return (bits[byte] >> shift) & jnp.uint8(1)
 
@@ -170,9 +175,9 @@ class DeviceKModel:
         pos = (h % _U64(self.km_bit_size)).reshape(
             kmers.shape + (self.n_bits, self.n_hash)
         )
-        byte = (pos >> _U64(3)).astype(jnp.int64)
+        byte = (pos >> _U64(3)).astype(jnp.int32)  # tables << 2^31 bytes
         shift = (jnp.uint16(7) - (pos & _U64(7)).astype(jnp.uint16))
-        nb_idx = jnp.arange(self.n_bits)[:, None]
+        nb_idx = jnp.arange(self.n_bits, dtype=jnp.int32)[:, None]
         w = self.bit12[nb_idx, byte]  # one gather: low byte bit1, high bit2
         v1 = ((w >> shift) & jnp.uint16(1)).astype(jnp.uint8)
         v2 = ((w >> (shift + jnp.uint16(8))) & jnp.uint16(1)).astype(jnp.uint8)
@@ -187,13 +192,13 @@ class DeviceKModel:
         if self.rest_n == 0:
             return jnp.zeros(kmers.shape, dtype=jnp.int32)
         suf_bits = _U64(self.rest_suf_bits)
-        prefixes = (kmers >> suf_bits).astype(jnp.int64)
+        prefixes = (kmers >> suf_bits).astype(jnp.int32)  # 4^p <= 4^7 slots
         suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
         pre_idx = self.rest_h2i[prefixes]
         valid = pre_idx >= 0
-        safe = jnp.maximum(pre_idx, 0).astype(jnp.int64)
-        lo = self.rest_pre[safe].astype(jnp.int64)
-        hi = self.rest_pre[safe + 1].astype(jnp.int64)
+        safe = jnp.maximum(pre_idx, 0).astype(jnp.int32)
+        lo = self.rest_pre[safe].astype(jnp.int32)
+        hi = self.rest_pre[safe + 1].astype(jnp.int32)
         # bucket-local binary search: the CSR prefix buckets are tiny, so a
         # fixed handful of gather steps replaces the full-table searchsorted
         lo_i, hi_i = lo, hi
