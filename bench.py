@@ -42,14 +42,15 @@ def log(msg: str) -> None:
 
 
 def make_fastq(path: pathlib.Path, genome_len: int = GENOME_LEN,
-               n_reads: int = N_READS, seed: int = 12345) -> None:
+               n_reads: int = N_READS, seed: int = 12345,
+               err_rate: float = 0.002) -> None:
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=genome_len).astype(np.uint8)
     starts = rng.integers(0, genome_len - READ_LEN, size=n_reads)
     idx = starts[:, None] + np.arange(READ_LEN)[None, :]
     reads = genome[idx]
-    # sequencing errors (0.2%) + rare Ns (0.05%)
-    err = rng.random(reads.shape) < 0.002
+    # sequencing errors + rare Ns (0.05%)
+    err = rng.random(reads.shape) < err_rate
     reads = np.where(err, (reads + rng.integers(1, 4, size=reads.shape)) % 4, reads)
     acgt = np.frombuffer(b"ACGTN", dtype=np.uint8)
     ascii_reads = acgt[reads]
@@ -265,6 +266,36 @@ def main() -> None:
         except Exception as e:
             log(f"memory-ratio benchmark skipped: {e}")
 
+    # Memory-saving ratio with a REALISTIC k-mer count spectrum: the
+    # reference's 13.81x average (README.md:3) is on real sequencing data,
+    # whose spectrum is dominated by an error-singleton tail (every base
+    # error spawns up to k singleton k-mers) plus a high-coverage body.
+    # Singletons land in the Bloom bank at ~nh-1 bits each vs ~2*nb*nh/16
+    # bytes in the coupled arrays, so the ratio rises with the singleton
+    # mass; the main bench's low-error workload understates it.  0.5%/base
+    # errors at 40x coverage reproduces the regime.
+    mem_ratio_realistic = 0.0
+    if os.environ.get("KMCEX_BENCH_MEMRATIO", "1") != "0":
+        try:
+            fqr = BENCH_DIR / "reads_realistic.fastq"
+            if not fqr.exists():
+                log("generating realistic-spectrum FASTQ (40x, 0.5% errors) ...")
+                make_fastq(fqr, genome_len=2_000_000, n_reads=533_000,
+                           seed=4242, err_rate=0.005)
+            kmr, kr, cr, _ = count_encode(
+                str(fqr), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB
+            )
+            raw_bytes_r = int(np.sum(K + 2 + np.char.str_len(cr.astype("U"))))
+            model_bytes_r = kmr.total_model_bytes()
+            mem_ratio_realistic = raw_bytes_r / model_bytes_r
+            n_single = int(np.count_nonzero(cr == 1))
+            log(f"memory-saving ratio, realistic spectrum ({len(kr)} distinct, "
+                f"{100 * n_single / max(len(kr), 1):.0f}% singletons): "
+                f"{mem_ratio_realistic:.2f}x vs raw listing "
+                f"({raw_bytes_r >> 20}MB -> model {model_bytes_r >> 20}MB)")
+        except Exception as e:
+            log(f"realistic memory-ratio benchmark skipped: {e}")
+
     print(json.dumps({
         "metric": "count+encode throughput (k=31, nh=7, nb=5, 150bp reads)",
         "value": round(reads_per_s / 1e6, 4),
@@ -272,6 +303,7 @@ def main() -> None:
         "vs_baseline": round(vs_baseline, 3),
         "mem_ratio_30x_vs_raw_input": round(mem_ratio_raw, 2),
         "mem_ratio_30x_vs_kmc_db": round(mem_ratio_db, 2),
+        "mem_ratio_realistic": round(mem_ratio_realistic, 2),
         "phases": phases,
     }))
 

@@ -183,6 +183,62 @@ def _fused_finalize(kmers_list, ci, n_rows: int):
     return u, c, _final_stats(u, c, ci, n_rows)
 
 
+@jax.jit
+def _sorted_boundary(kmers_list):
+    """Concat + sort the raw tier and mark run boundaries WITHOUT compacting:
+    returns (key, counts) where duplicate/masked slots hold (SENTINEL, 0)
+    and boundary slots hold (k-mer, run length).  The compaction itself is
+    deferred so it can run per SEGMENT, overlapping the host encode (see
+    DeviceCountAccumulator._segmented_stream)."""
+    flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
+    from kmcex_tpu.count.extract import sorted_u64
+
+    s = sorted_u64(flat)
+    n = s.shape[0]
+    idxs = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    valid = first & (s != SENTINEL)
+    n_real = jnp.sum(s != SENTINEL, dtype=jnp.int32)
+    bpos = jnp.where(first, idxs, n)
+    next_b = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([bpos[1:], jnp.array([n], jnp.int32)]))))
+    run_len = jnp.minimum(next_b, n_real) - idxs
+    counts = jnp.where(valid, run_len, 0).astype(jnp.uint32)
+    key = jnp.where(valid, s, SENTINEL)
+    return key, counts
+
+
+@jax.jit
+def _global_low_stats(counts, ci):
+    """[total >= ci, hist(ci), hist(ci+1), hist(ci+2)] over boundary counts
+    (holes hold 0, which ci >= 1 excludes) — the reference's pass-1 sizing
+    numbers (kmodel.hpp:423-434), pulled before any compaction."""
+    total = jnp.sum(counts >= ci, dtype=jnp.int64)
+    hist = [jnp.sum(counts == ci + i, dtype=jnp.int64) for i in range(3)]
+    return jnp.stack([total, *hist])
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _compact_seg(key, cnt, q, seg_len: int, n_rows: int, ci=1):
+    """Compact ONE segment [q*seg_len, (q+1)*seg_len) of the boundary-marked
+    arrays and compute its stats vector.  ``q`` is traced (one compiled
+    program serves every segment)."""
+    ks = jax.lax.dynamic_slice(key, (q * seg_len,), (seg_len,))
+    cs_ = jax.lax.dynamic_slice(cnt, (q * seg_len,), (seg_len,))
+    from kmcex_tpu.count import sort_pallas
+
+    if sort_pallas.use_pallas_sort():
+        from kmcex_tpu.count import compact_pallas
+
+        u, c = compact_pallas.compact_pairs(ks, cs_)
+        u, c = u[:seg_len], c[:seg_len]
+    else:  # CPU fallback: compaction by payload sort
+        u, c = jax.lax.sort((ks, cs_), num_keys=1, is_stable=False)
+        nu = jnp.sum(ks != SENTINEL, dtype=jnp.int32)
+        c = jnp.where(jnp.arange(seg_len) < nu, c, 0)
+    return u, c, _final_stats(u, c, ci, n_rows)
+
+
 def _pack_bits(vals: jnp.ndarray, width: int) -> jnp.ndarray:
     """Pack ``vals`` (uint64, each < 2**width, len % 8 == 0) into a dense
     little-endian bitstream: each group of 8 values becomes exactly
@@ -604,6 +660,46 @@ class DeviceCountAccumulator:
         keep = counts >= ci
         return kmers[keep], counts[keep]
 
+    # key-range segments per single-tier finalize: segment q's encode
+    # overlaps segment q+1's device compaction + transfer
+    FINALIZE_SEGMENTS = 4
+
+    def _segmented_stream(self, key, cnt, ci: int, cs: int):
+        """Yield ascending ci-filtered (kmers, counts) chunks segment by
+        segment.  Per segment: one traced-index compact+stats dispatch, one
+        small stats pull (which waits only for THAT segment), then the
+        bit-packed row pulls start async while decode/encode proceeds —
+        later segments' device work runs concurrently."""
+        total_len = int(key.shape[0])
+        Q = self.FINALIZE_SEGMENTS
+        from kmcex_tpu.count import sort_pallas
+
+        blk = sort_pallas.BLK
+        # pad to whole blocks per segment so every segment shares one
+        # compiled compact/pack shape and stays 8-group aligned
+        unit = Q * blk
+        padded = -(-total_len // unit) * unit
+        if padded > total_len:
+            pad = padded - total_len
+            key = jnp.concatenate(
+                [key, jnp.full((pad,), SENTINEL, jnp.uint64)])
+            cnt = jnp.concatenate([cnt, jnp.zeros((pad,), jnp.uint32)])
+        seg = padded // Q
+        n_rows = _row_count(seg)
+        # Dispatch discipline (the device executes in dispatch order): the
+        # next segment's compact is enqueued right after this segment's pack
+        # rows and BEFORE this segment's host-side decode, so the device
+        # compacts q+1 while the host decodes/encodes q.
+        nxt = _compact_seg(key, cnt, jnp.int32(0), seg, n_rows, jnp.uint32(ci))
+        for q in range(Q):
+            u, c, flat = nxt
+            meta = self._pack_run(u, c, ci, cs, np.asarray(flat))
+            if q + 1 < Q:
+                nxt = _compact_seg(key, cnt, jnp.int32(q + 1), seg, n_rows,
+                                   jnp.uint32(ci))
+            if meta is not None:
+                yield from _decode_filter(meta, ci)
+
     def _pack_run(self, u, c, ci: int, cs: int, flat: np.ndarray | None = None):
         """Bit-packed transfer rows for one compacted run.  ``flat`` is the
         pulled _final_stats vector (computed + pulled here when not already
@@ -687,15 +783,20 @@ class DeviceCountAccumulator:
         compatibility (host-run chunking only)."""
         if (not self.runs and not self.host_runs and not self.disk_runs
                 and self.raw):
-            size = sum(int(x.shape[0]) for x in self.raw)
-            n_rows = _row_count(size)
-            u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci), n_rows)
+            # SEGMENTED single-tier finalize: sort + boundary-mark the whole
+            # tier, pull only the 4-word sizing stats, then compact/pack/pull
+            # one key-range segment at a time — the host encode consumes
+            # segment q while the device compacts segment q+1, overlapping
+            # what used to be strictly serial phases.
+            key, cnt = _sorted_boundary(self.raw)
             self.raw = []
             self.raw_elems = 0
-            meta = self._pack_run(u, c, ci, cs, np.asarray(flat))
-            if meta is None:
+            gstats = np.asarray(_global_low_stats(cnt, jnp.uint32(ci)))
+            total = int(gstats[0])
+            hist = gstats[1:4].astype(np.int64)
+            if total == 0:
                 return 0, np.zeros(3, dtype=np.int64), iter(())
-            return meta["total"], meta["hist"], _decode_filter(meta, ci)
+            return total, hist, self._segmented_stream(key, cnt, ci, cs)
         self._merge_device_runs()
         if self.disk_runs:
             if self.runs:
