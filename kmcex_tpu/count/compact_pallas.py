@@ -79,23 +79,27 @@ def compact_pairs(keys: jnp.ndarray, counts: jnp.ndarray):
     cnt = counts.reshape(B, r, LANES)
     # forced-ascending per-block sort: holes (SENTINEL) to each block's tail
     shi, slo, scnt = sort_pallas._block_sort((hi, lo, cnt), 3, True)
-    # logical column-major tile order -> natural memory order per block,
-    # u64 keys reassembled for the stitch
-    sk = ((shi.transpose(0, 2, 1).reshape(-1).astype(jnp.uint64)
-           << jnp.uint64(32))
-          | slo.transpose(0, 2, 1).reshape(-1).astype(jnp.uint64))
-    sc = scnt.transpose(0, 2, 1).reshape(-1)
+    # logical column-major tile order -> natural memory order per block.
+    # The stitch runs on the u32 planes: dynamic_update_slice of uint64
+    # fails at runtime on this TPU backend (no native 64-bit lanes).
+    nhi = shi.transpose(0, 2, 1).reshape(-1)
+    nlo = slo.transpose(0, 2, 1).reshape(-1)
+    ncnt = scnt.transpose(0, 2, 1).reshape(-1)
 
-    def body(b, kc):
-        ok, oc = kc
-        kb = jax.lax.dynamic_slice(sk, (b * blk,), (blk,))
-        cb = jax.lax.dynamic_slice(sc, (b * blk,), (blk,))
+    def body(b, planes):
+        oh, ol, oc = planes
         off = offsets[b]
-        ok = jax.lax.dynamic_update_slice(ok, kb, (off,))
-        oc = jax.lax.dynamic_update_slice(oc, cb, (off,))
-        return ok, oc
+        hb = jax.lax.dynamic_slice(nhi, (b * blk,), (blk,))
+        lb = jax.lax.dynamic_slice(nlo, (b * blk,), (blk,))
+        cb = jax.lax.dynamic_slice(ncnt, (b * blk,), (blk,))
+        return (jax.lax.dynamic_update_slice(oh, hb, (off,)),
+                jax.lax.dynamic_update_slice(ol, lb, (off,)),
+                jax.lax.dynamic_update_slice(oc, cb, (off,)))
 
-    init = (jnp.full((total,), sort_pallas.SENTINEL64, jnp.uint64),
+    sent32 = jnp.uint32(0xFFFFFFFF)
+    init = (jnp.full((total,), sent32, jnp.uint32),
+            jnp.full((total,), sent32, jnp.uint32),
             jnp.zeros((total,), jnp.uint32))
-    out_k, out_c = jax.lax.fori_loop(0, B, body, init)
-    return out_k, out_c
+    oh, ol, oc = jax.lax.fori_loop(0, B, body, init)
+    out_k = (oh.astype(jnp.uint64) << jnp.uint64(32)) | ol.astype(jnp.uint64)
+    return out_k, oc

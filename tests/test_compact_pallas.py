@@ -70,3 +70,39 @@ def test_compact_hole_runs():
     keys2[n // 2 :] = S  # second half holes -> zero displacement
     counts2[n // 2 :] = 0
     _check(keys2, counts2)
+
+
+def test_segmented_finalize_pallas_path(monkeypatch):
+    """The TPU segmented finalize (sorted_boundary -> per-segment
+    compact_pairs -> packed pull) end-to-end in interpret mode — the exact
+    branch the real chip runs, vs brute force."""
+    monkeypatch.setattr(sp, "use_pallas_sort", lambda: True)
+    from kmcex_tpu.count import device_lsm
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(77)
+    k = 13
+    acc = DeviceCountAccumulator(k)
+    acc.FINALIZE_SEGMENTS = 4
+    flats = []
+    for _ in range(3):
+        codes = rng.integers(0, 4, size=(64, 48)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.02] = 255
+        acc.add_batch(codes)
+        from kmcex_tpu.count import extract
+
+        f = np.asarray(extract.extract_canonical(jnp.asarray(codes), k)[0])
+        flats.append(f[f != S])
+    total, hist, chunks = acc.finalize_stream(ci=1, cs=1023)
+    got_k, got_c = [], []
+    for ku, kc in chunks:
+        got_k.append(ku)
+        got_c.append(kc)
+    got_k = np.concatenate(got_k) if got_k else np.zeros(0, np.uint64)
+    got_c = np.concatenate(got_c) if got_c else np.zeros(0, np.uint32)
+    want_k, want_c = np.unique(np.concatenate(flats), return_counts=True)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c.astype(np.uint32))
+    assert total == len(want_k)
+    for i in range(3):
+        assert hist[i] == int(np.count_nonzero(want_c == 1 + i))
