@@ -184,11 +184,14 @@ def _fused_finalize(kmers_list, ci, n_rows: int):
 
 
 @jax.jit
-def _sorted_boundary(kmers_list):
+def _sorted_boundary(kmers_list, ci):
     """Concat + sort the raw tier and mark run boundaries WITHOUT compacting:
-    returns (key, counts) where duplicate/masked slots hold (SENTINEL, 0)
-    and boundary slots hold (k-mer, run length).  The compaction itself is
-    deferred so it can run per SEGMENT, overlapping the host encode (see
+    returns (key, counts, gstats) where duplicate/masked slots hold
+    (SENTINEL, 0), boundary slots hold (k-mer, run length), and ``gstats``
+    is [total >= ci, hist(ci), hist(ci+1), hist(ci+2)] — the reference's
+    pass-1 sizing numbers (kmodel.hpp:423-434), fused here so ONE dispatch +
+    one small pull covers sort + stats.  The compaction itself is deferred
+    so it can run per SEGMENT, overlapping the host encode (see
     DeviceCountAccumulator._segmented_stream)."""
     flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
     from kmcex_tpu.count.extract import sorted_u64
@@ -205,17 +208,9 @@ def _sorted_boundary(kmers_list):
     run_len = jnp.minimum(next_b, n_real) - idxs
     counts = jnp.where(valid, run_len, 0).astype(jnp.uint32)
     key = jnp.where(valid, s, SENTINEL)
-    return key, counts
-
-
-@jax.jit
-def _global_low_stats(counts, ci):
-    """[total >= ci, hist(ci), hist(ci+1), hist(ci+2)] over boundary counts
-    (holes hold 0, which ci >= 1 excludes) — the reference's pass-1 sizing
-    numbers (kmodel.hpp:423-434), pulled before any compaction."""
     total = jnp.sum(counts >= ci, dtype=jnp.int64)
     hist = [jnp.sum(counts == ci + i, dtype=jnp.int64) for i in range(3)]
-    return jnp.stack([total, *hist])
+    return key, counts, jnp.stack([total, *hist])
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -287,6 +282,22 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1).bit_length())
 
 
+# Resolved once at import (trace-time flags inside jitted callers would be
+# frozen by the jit cache anyway).  KMCEX_SEGMENTED_FINALIZE=1 opts into the
+# per-segment finalize whose compact/pack/pull overlaps the host encode.
+# DEFAULT OFF on this rig: with the full interleave in flight (per-segment
+# compact + ~128 pack-row programs + ~256 async d2h pulls) the axon relay
+# intermittently fails an execution with an opaque INVALID_ARGUMENT —
+# every constituent program passes in isolation with identical shapes and
+# data, and the interpret-mode semantics test passes, so this is a backend
+# concurrency fault, not a kernel bug (see
+# tests/test_compact_pallas.py::test_segmented_finalize_pallas_path).  The
+# fused one-program finalize is proven at 32M-window scale.
+import os as _os
+
+_SEGMENTED_FINALIZE = _os.environ.get("KMCEX_SEGMENTED_FINALIZE", "0") == "1"
+
+
 def write_run_file(path: str, ku: np.ndarray, kc: np.ndarray) -> None:
     """Spill one sorted (kmers, counts) run: u64 length, u64 keys, u32
     counts (shared by the single-chip and sharded disk tiers)."""
@@ -351,7 +362,9 @@ class DeviceCountAccumulator:
         import os as _os
 
         self.k = k
-        self.raw_tier_elems = raw_tier_elems or self.RAW_TIER_ELEMS
+        self.raw_tier_elems = (raw_tier_elems
+                               or int(_os.environ.get("KMCEX_RAW_TIER_ELEMS", 0))
+                               or self.RAW_TIER_ELEMS)
         self.spill_threshold = spill_threshold or self.SPILL_THRESHOLD
         if disk_spill_bytes is None:
             disk_spill_bytes = int(_os.environ.get(
@@ -733,10 +746,12 @@ class DeviceCountAccumulator:
         for i in range(n_rows):
             if i * m >= n_real:
                 break  # trailing rows are pure padding; skip the transfer
-            # round widths up to even so the compiled-variant count stays
-            # small (<= 1 extra bit per entry)
-            wbits = min(64, (max(1, int(row_gap[i]).bit_length()) + 1) & ~1)
-            cbits = min(32, (max(1, int(row_cnt[i]).bit_length()) + 1) & ~1)
+            # round widths up to a multiple of 4 so the compiled-variant
+            # count stays small (16 x 8 worst case, <= 3 extra bits per
+            # entry; each distinct (wbits, cbits) pair is its own compiled
+            # program, and mid-stream compiles stall the transfer pipeline)
+            wbits = min(64, -(-max(1, int(row_gap[i]).bit_length()) // 4) * 4)
+            cbits = min(32, -(-max(1, int(row_cnt[i]).bit_length()) // 4) * 4)
             kb, cb = _pack_row(u, c, i, m, wbits, cbits, int(cs))
             kb.copy_to_host_async()
             cb.copy_to_host_async()
@@ -783,15 +798,28 @@ class DeviceCountAccumulator:
         compatibility (host-run chunking only)."""
         if (not self.runs and not self.host_runs and not self.disk_runs
                 and self.raw):
+            if not _SEGMENTED_FINALIZE:
+                # default path: the whole single-tier finalize as ONE fused
+                # program + packed pulls (no per-segment overlap; see the
+                # _SEGMENTED_FINALIZE note for why segmented is opt-in).
+                size = sum(int(x.shape[0]) for x in self.raw)
+                n_rows = _row_count(size)
+                u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci), n_rows)
+                self.raw = []
+                self.raw_elems = 0
+                meta = self._pack_run(u, c, ci, cs, np.asarray(flat))
+                if meta is None:
+                    return 0, np.zeros(3, dtype=np.int64), iter(())
+                return meta["total"], meta["hist"], _decode_filter(meta, ci)
             # SEGMENTED single-tier finalize: sort + boundary-mark the whole
             # tier, pull only the 4-word sizing stats, then compact/pack/pull
             # one key-range segment at a time — the host encode consumes
             # segment q while the device compacts segment q+1, overlapping
             # what used to be strictly serial phases.
-            key, cnt = _sorted_boundary(self.raw)
+            key, cnt, gstats = _sorted_boundary(self.raw, jnp.uint32(ci))
             self.raw = []
             self.raw_elems = 0
-            gstats = np.asarray(_global_low_stats(cnt, jnp.uint32(ci)))
+            gstats = np.asarray(gstats)
             total = int(gstats[0])
             hist = gstats[1:4].astype(np.int64)
             if total == 0:
