@@ -18,10 +18,10 @@ Only the final merged table is pulled to the host, counts narrowed to
 uint16 when ``cs`` fits (half the transfer bytes; counters clamp to cs
 anyway, kmodel.hpp:675).
 
-Segment sums use the same scatter-free formulation as
-count/extract.sort_count_unique: run lengths/sums come from prefix sums +
-reverse cummin over boundary positions, compaction from one key+payload
-sort.  The number of distinct compiled shapes is logarithmic (power-of-two
+Segment counts use the scatter-free formulation of
+count/extract.sort_count_unique (compact run-boundary positions, diff
+them); only the run-MERGE kernels still use prefix sums + reverse cummin,
+because merged counts are sums of partial counts, not run lengths.  The number of distinct compiled shapes is logarithmic (power-of-two
 sizes only) plus one per distinct batches-per-tier count (bounded by
 ``raw_tier_elems // batch_elems``).
 """

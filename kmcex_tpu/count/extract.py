@@ -123,36 +123,38 @@ def segment_compact(s: jnp.ndarray):
     Returns (unique_sorted [N] with SENTINEL padding at the tail, counts [N]
     aligned, n_unique scalar).  SENTINEL entries (masked windows) are
     dropped.  TPU-friendly formulation: XLA scatters serialize on TPU, so
-    run lengths come from a reverse cummin over boundary positions (a fast
-    associative scan) and the compaction is a key+payload sort — sorts are
-    ~10x cheaper than element scatters here.
+    the compaction is a per-block sort (compact_pallas) carrying each run
+    boundary's ORIGINAL POSITION as the payload; run lengths then fall out
+    as diffs of consecutive compacted positions (one elementwise pass).
+    This replaces the earlier reverse-cummin-over-boundary-positions scan —
+    the flip/cummin/flip chain cost several extra full-array passes on the
+    32M-element finalize for something a diff of the compacted positions
+    gives for free.
     """
     n = s.shape[0]
     idxs = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     valid = first & (s != SENTINEL)
     n_real = jnp.sum(s != SENTINEL, dtype=jnp.int32)  # sentinels sort last
-    # next boundary position per element via reverse cummin of boundary idxs
-    bpos = jnp.where(first, idxs, n)
-    next_b = jnp.flip(jax.lax.cummin(jnp.flip(jnp.concatenate([bpos[1:], jnp.array([n], jnp.int32)]))))
-    run_len = jnp.minimum(next_b, n_real) - idxs  # valid at boundaries only
-    counts = jnp.where(valid, run_len, 0)
     key = jnp.where(valid, s, SENTINEL)
+    pos = jnp.where(valid, idxs, 0).astype(jnp.uint32)  # run-start position
     n_unique = jnp.sum(valid, dtype=jnp.int64)
     from kmcex_tpu.count import sort_pallas
 
     if sort_pallas.use_pallas_sort():
-        # compaction: the log-shift kernel (count/compact_pallas) moves
-        # survivors to the front ~20x cheaper than re-sorting
         from kmcex_tpu.count import compact_pallas
 
-        uniq_c, counts_c = compact_pallas.compact_pairs(
-            key, counts.astype(jnp.uint32))
-        uniq_c, counts_c = uniq_c[:n], counts_c[:n]
+        uniq_c, pos_c = compact_pallas.compact_pairs(key, pos)
+        uniq_c, pos_c = uniq_c[:n], pos_c[:n]
     else:
-        # CPU fallback: sort by (is-sentinel-or-dup key) carries counts along
-        uniq_c, counts_c = sorted_u64_with_payload(key, counts.astype(jnp.uint32))
-        counts_c = jnp.where(idxs < n_unique.astype(jnp.int32), counts_c, 0)
+        # CPU fallback: sort by (is-sentinel-or-dup key) carries pos along
+        uniq_c, pos_c = sorted_u64_with_payload(key, pos)
+    # run length i = next run's start - this run's start; the last run ends
+    # at n_real (sentinels sort last, so real elements are a prefix)
+    nu32 = n_unique.astype(jnp.int32)
+    shifted = jnp.concatenate([pos_c[1:], jnp.zeros((1,), jnp.uint32)])
+    next_pos = jnp.where(idxs + 1 < nu32, shifted, n_real.astype(jnp.uint32))
+    counts_c = jnp.where(idxs < nu32, next_pos - pos_c, 0)
     return uniq_c, counts_c.astype(jnp.uint32), n_unique
 
 

@@ -56,6 +56,18 @@ INTERPRET = False
 # blocks.  v5e has 128MB VMEM — allow most of it.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+# KMCEX_PALLAS_NO_ALIAS=1 drops input_output_aliases from every pallas call
+# (outputs allocated fresh instead of donating inputs).  Diagnostic knob for
+# this rig's relay backend, which intermittently fails executions in long
+# donated-buffer chains with an opaque INVALID_ARGUMENT.
+import os as _os_alias
+
+_NO_ALIAS = _os_alias.environ.get("KMCEX_PALLAS_NO_ALIAS", "0") == "1"
+
+
+def _aliases(n_planes: int):
+    return {} if _NO_ALIAS else {i: i for i in range(n_planes)}
+
 
 def _r() -> int:
     return BLK // LANES
@@ -197,7 +209,7 @@ def _block_sort(tiles, n_planes: int, force_asc: bool = False):
         out_shape=tuple(
             jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tiles
         ),
-        input_output_aliases={i: i for i in range(n_planes)},
+        input_output_aliases=_aliases(n_planes),
         compiler_params=None if INTERPRET else _COMPILER_PARAMS,
         interpret=INTERPRET,
     )(*tiles)
@@ -260,7 +272,7 @@ def _hbm_step(tiles, n_planes: int, kb: int, jb: int, finish: bool,
         out_shape=tuple(
             jax.ShapeDtypeStruct(t.shape, t.dtype) for t in viewed
         ),
-        input_output_aliases={i: i for i in range(n_planes)},
+        input_output_aliases=_aliases(n_planes),
         compiler_params=None if INTERPRET else _COMPILER_PARAMS,
         interpret=INTERPRET,
     )(*viewed)
@@ -427,7 +439,7 @@ def _bitonic_finish_single(tiles, n_planes: int):
         out_shape=tuple(
             jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tiles
         ),
-        input_output_aliases={i: i for i in range(n_planes)},
+        input_output_aliases=_aliases(n_planes),
         compiler_params=None if INTERPRET else _COMPILER_PARAMS,
         interpret=INTERPRET,
     )(*tiles)
