@@ -116,6 +116,82 @@ def _collapse_kernel(kmers_list):
     return uniq, counts, n_unique.astype(jnp.int32)
 
 
+@jax.jit
+def _stage_to_tiles(flats):
+    """Concat staged flat k-mer vectors, pad to an EVEN number of sort
+    blocks, and run the per-block bitonic network (parity by block index).
+
+    Dispatched as each input batch lands, so the O(n log^2 BLK) in-VMEM
+    block network — the single most expensive slice of the global sort
+    (~258ms of the 381ms 32M-element sort on v5e) — runs while the host is
+    still parsing/uploading later batches.  The finalize then starts from
+    already-block-sorted tiles and only pays the cross-block merge tree.
+    An even block count per flush keeps local block parity == global block
+    parity, so independently-sorted flushes concatenate into a valid
+    bitonic-tree input."""
+    from kmcex_tpu.count import sort_pallas
+
+    flat = jnp.concatenate(flats) if len(flats) > 1 else flats[0]
+    n = flat.shape[0]
+    blk2 = 2 * sort_pallas.BLK
+    total = max(blk2, -(-n // blk2) * blk2)
+    if total > n:
+        flat = jnp.concatenate(
+            [flat, jnp.full((total - n,), SENTINEL, jnp.uint64)])
+    r = sort_pallas.BLK // sort_pallas.LANES
+    B = total // sort_pallas.BLK
+    hi = (flat >> jnp.uint64(32)).astype(jnp.uint32).reshape(
+        B, r, sort_pallas.LANES)
+    lo = flat.astype(jnp.uint32).reshape(B, r, sort_pallas.LANES)
+    return sort_pallas._block_sort((hi, lo), 2)
+
+
+def _pad_tiles_pow2(tiles_list):
+    """Concat per-flush block-sorted tiles and pad the block count to a
+    power of two with SENTINEL-uniform blocks (sorted in either direction,
+    so bitonicity is preserved)."""
+    from kmcex_tpu.count import sort_pallas
+
+    hi = jnp.concatenate([t[0] for t in tiles_list])
+    lo = jnp.concatenate([t[1] for t in tiles_list])
+    B = hi.shape[0]
+    Bp = _next_pow2(B)
+    if Bp > B:
+        pad_shape = (Bp - B,) + hi.shape[1:]
+        hi = jnp.concatenate(
+            [hi, jnp.full(pad_shape, np.uint32(0xFFFFFFFF), jnp.uint32)])
+        lo = jnp.concatenate(
+            [lo, jnp.full(pad_shape, np.uint32(0xFFFFFFFF), jnp.uint32)])
+    return (hi, lo), Bp * sort_pallas.BLK
+
+
+@jax.jit
+def _merge_tiles_sorted(tiles_list):
+    """Block-sorted tiles -> globally sorted flat u64 (SENTINEL-padded):
+    cross-block bitonic merge tree + the one transpose back to natural
+    order.  The block network already ran per flush (_stage_to_tiles)."""
+    from kmcex_tpu.count import sort_pallas
+
+    tiles, total = _pad_tiles_pow2(tiles_list)
+    tiles = sort_pallas._merge_tree(tiles, 2)
+    return sort_pallas._from_tiles(tiles, total)
+
+
+@jax.jit
+def _collapse_tiles_kernel(tiles_list):
+    """Tile-mode analogue of _collapse_kernel: merge-tree + segment count."""
+    uniq, counts, n_unique = segment_compact(_merge_tiles_sorted(tiles_list))
+    return uniq, counts, n_unique.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fused_finalize_tiles(tiles_list, ci, n_rows: int):
+    """Tile-mode analogue of _fused_finalize: merge-tree, segment-count,
+    compact, stats — one device program."""
+    u, c, _ = segment_compact(_merge_tiles_sorted(tiles_list))
+    return u, c, _final_stats(u, c, ci, n_rows)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _pack_final(kmers, counts, cs: int, narrow: bool):
     c = jnp.minimum(counts, jnp.uint32(cs))
@@ -196,7 +272,16 @@ def _sorted_boundary(kmers_list, ci):
     flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
     from kmcex_tpu.count.extract import sorted_u64
 
-    s = sorted_u64(flat)
+    return _boundary_mark(sorted_u64(flat), ci)
+
+
+@jax.jit
+def _sorted_boundary_tiles(tiles_list, ci):
+    """Tile-mode analogue of _sorted_boundary (see _stage_to_tiles)."""
+    return _boundary_mark(_merge_tiles_sorted(tiles_list), ci)
+
+
+def _boundary_mark(s, ci):
     n = s.shape[0]
     idxs = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
@@ -276,6 +361,25 @@ def _pack_row(kmers, counts, row, m: int, wbits: int, cbits: int, cs: int):
                     jnp.uint32(cs)).astype(jnp.uint64)
     cb = _pack_bits(c, cbits)
     return kb, cb
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _pack_rows_fused(kmers, counts, row_specs: tuple, m: int, cs: int):
+    """Pack EVERY transfer row into ONE pair of u8 buffers (keys, counts).
+
+    ``row_specs`` is a static tuple of per-row (wbits, cbits).  One device
+    program + two output buffers instead of one program + two buffers per
+    row: on this rig's relay each separately-pulled device buffer pays a
+    fixed ~30ms latency (28 row buffers throttled the table pull to
+    ~16MB/s), while async pulls of SLICES of a single buffer pipeline at
+    ~54MB/s.  The caller pulls row-group slices of these buffers so the
+    host decode still streams."""
+    kb_parts, cb_parts = [], []
+    for i, (wbits, cbits) in enumerate(row_specs):
+        kb, cb = _pack_row(kmers, counts, i, m, wbits, cbits, cs)
+        kb_parts.append(kb)
+        cb_parts.append(cb)
+    return jnp.concatenate(kb_parts), jnp.concatenate(cb_parts)
 
 
 def _next_pow2(n: int) -> int:
@@ -375,6 +479,16 @@ class DeviceCountAccumulator:
         self.disk_runs: list[str] = []
         self.raw: list[jnp.ndarray] = []
         self.raw_elems = 0
+        # tile mode (Pallas backend): incoming batches are block-sorted as
+        # they land (self.tiles accumulates (hi, lo) plane pairs; self.raw
+        # is the < 2-block staging remainder) so the finalize pays only the
+        # cross-block merge tree.  Off the Pallas path, self.raw holds flat
+        # vectors and the finalize sorts them whole (CPU fallback).
+        from kmcex_tpu.count import sort_pallas as _sp
+
+        self.tile_mode = _sp.use_pallas_sort()
+        self.tiles: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+        self._stage_elems = 0
         self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
         self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
         self.total_windows = 0
@@ -396,16 +510,43 @@ class DeviceCountAccumulator:
         self.total_windows += n_windows
         self.raw.append(kmers)
         self.raw_elems += n_windows
+        if self.tile_mode:
+            self._stage_elems += int(kmers.shape[0])
+            from kmcex_tpu.count import sort_pallas
+
+            if self._stage_elems >= 2 * sort_pallas.BLK:
+                self._flush_stage()
         if self.raw_elems >= self.raw_tier_elems:
             self._collapse_raw()
 
+    def _flush_stage(self) -> None:
+        """Tile mode: block-sort the staged flat batches into parity tiles
+        (dispatched now, overlapping later batches' parse/upload)."""
+        if not self.raw:
+            return
+        self.tiles.append(_stage_to_tiles(tuple(self.raw)))
+        self.raw = []
+        self._stage_elems = 0
+
     def _collapse_raw(self) -> None:
+        if self.tile_mode:
+            self._flush_stage()
+            if not self.tiles:
+                return
+            uniq, counts, nu = _collapse_tiles_kernel(tuple(self.tiles))
+            self.tiles = []
+            self.raw_elems = 0
+            self._after_collapse(uniq, counts, nu)
+            return
         if not self.raw:
             return
         uniq, counts, nu = _collapse_kernel(self.raw)
-        size = uniq.shape[0]
         self.raw = []
         self.raw_elems = 0
+        self._after_collapse(uniq, counts, nu)
+
+    def _after_collapse(self, uniq, counts, nu) -> None:
+        size = uniq.shape[0]
         if size >= self.SHRINK_THRESHOLD:
             shrunk = _next_pow2(max(int(nu), 1))  # scalar device sync
             if shrunk < size:
@@ -742,21 +883,38 @@ class DeviceCountAccumulator:
             return meta
         row_gap = flat[9 : 9 + n_rows]
         row_cnt = np.minimum(flat[9 + n_rows : 9 + 2 * n_rows], np.uint64(cs))
-        rows = []
+        row_specs = []
         for i in range(n_rows):
             if i * m >= n_real:
                 break  # trailing rows are pure padding; skip the transfer
             # round widths up to a multiple of 4 so the compiled-variant
             # count stays small (16 x 8 worst case, <= 3 extra bits per
-            # entry; each distinct (wbits, cbits) pair is its own compiled
+            # entry; each distinct row_specs tuple is its own compiled
             # program, and mid-stream compiles stall the transfer pipeline)
             wbits = min(64, -(-max(1, int(row_gap[i]).bit_length()) // 4) * 4)
             cbits = min(32, -(-max(1, int(row_cnt[i]).bit_length()) // 4) * 4)
-            kb, cb = _pack_row(u, c, i, m, wbits, cbits, int(cs))
-            kb.copy_to_host_async()
-            cb.copy_to_host_async()
-            rows.append((kb, cb, wbits, cbits))
-        meta["rows"] = rows
+            row_specs.append((wbits, cbits))
+        kb_all, cb_all = _pack_rows_fused(u, c, tuple(row_specs), m, int(cs))
+        # Pull the two buffers as row-group SLICES: slices of one buffer
+        # pipeline on the relay (~54MB/s) where separate small buffers pay
+        # ~30ms each (~16MB/s), and group granularity keeps the host decode
+        # streaming (feed of group g overlaps the pull of group g+1).
+        n_groups = max(1, min(8, len(row_specs)))
+        per = -(-len(row_specs) // n_groups)
+        groups = []
+        ko = co = 0
+        for g0 in range(0, len(row_specs), per):
+            specs = row_specs[g0 : g0 + per]
+            kn = sum(m * wb // 8 for wb, _ in specs)
+            cn = sum(m * cb // 8 for _, cb in specs)
+            ks = kb_all[ko : ko + kn]
+            cs_slice = cb_all[co : co + cn]
+            ks.copy_to_host_async()
+            cs_slice.copy_to_host_async()
+            groups.append((g0, specs, ks, cs_slice))
+            ko += kn
+            co += cn
+        meta["groups"] = groups
         meta["m"] = m
         return meta
 
@@ -771,14 +929,21 @@ class DeviceCountAccumulator:
 
         base = np.uint64(meta["first_k"])
         m, n_real = meta["m"], meta["n_real"]
-        for i, (kbj, cbj, wbits, cbits) in enumerate(meta["rows"]):
-            kb = np.asarray(kbj)
-            cbytes = np.asarray(cbj)
-            n_here = min(n_real - i * m, m)
-            ku = native.unpack_deltas(kb, n_here, wbits, int(base))
-            kc = native.unpack_counts(cbytes, n_here, cbits)
-            base = ku[-1]
-            yield ku, kc
+        for g0, specs, ksj, csj in meta["groups"]:
+            kb = np.asarray(ksj)
+            cbytes = np.asarray(csj)
+            ko = co = 0
+            for i, (wbits, cbits) in enumerate(specs, start=g0):
+                kn = m * wbits // 8
+                cn = m * cbits // 8
+                n_here = min(n_real - i * m, m)
+                ku = native.unpack_deltas(kb[ko : ko + kn], n_here, wbits,
+                                          int(base))
+                kc = native.unpack_counts(cbytes[co : co + cn], n_here, cbits)
+                base = ku[-1]
+                ko += kn
+                co += cn
+                yield ku, kc
 
     def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF, n_chunks: int = 16):
         """Streaming finalize: returns (total, low_hist, chunk_iter) where
@@ -797,14 +962,27 @@ class DeviceCountAccumulator:
         overlaps later transfers.  ``n_chunks`` is kept for API
         compatibility (host-run chunking only)."""
         if (not self.runs and not self.host_runs and not self.disk_runs
-                and self.raw):
+                and (self.raw or self.tiles)):
+            if self.tile_mode:
+                self._flush_stage()
             if not _SEGMENTED_FINALIZE:
                 # default path: the whole single-tier finalize as ONE fused
                 # program + packed pulls (no per-segment overlap; see the
                 # _SEGMENTED_FINALIZE note for why segmented is opt-in).
-                size = sum(int(x.shape[0]) for x in self.raw)
-                n_rows = _row_count(size)
-                u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci), n_rows)
+                if self.tile_mode:
+                    blk = sum(int(t[0].shape[0]) for t in self.tiles)
+                    from kmcex_tpu.count import sort_pallas
+
+                    size = _next_pow2(blk) * sort_pallas.BLK
+                    n_rows = _row_count(size)
+                    u, c, flat = _fused_finalize_tiles(
+                        tuple(self.tiles), jnp.uint32(ci), n_rows)
+                    self.tiles = []
+                else:
+                    size = sum(int(x.shape[0]) for x in self.raw)
+                    n_rows = _row_count(size)
+                    u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci),
+                                                 n_rows)
                 self.raw = []
                 self.raw_elems = 0
                 meta = self._pack_run(u, c, ci, cs, np.asarray(flat))
@@ -816,7 +994,12 @@ class DeviceCountAccumulator:
             # one key-range segment at a time — the host encode consumes
             # segment q while the device compacts segment q+1, overlapping
             # what used to be strictly serial phases.
-            key, cnt, gstats = _sorted_boundary(self.raw, jnp.uint32(ci))
+            if self.tile_mode:
+                key, cnt, gstats = _sorted_boundary_tiles(
+                    tuple(self.tiles), jnp.uint32(ci))
+                self.tiles = []
+            else:
+                key, cnt, gstats = _sorted_boundary(self.raw, jnp.uint32(ci))
             self.raw = []
             self.raw_elems = 0
             gstats = np.asarray(gstats)
