@@ -106,3 +106,26 @@ def test_segmented_finalize_pallas_path(monkeypatch):
     assert total == len(want_k)
     for i in range(3):
         assert hist[i] == int(np.count_nonzero(want_c == 1 + i))
+
+
+def test_compact_exhaustive_tiny_blocks(monkeypatch):
+    """Every hole pattern of a 2-block array at blk=256 lanes... exhaustive
+    over 12-slot patterns embedded in the first block: catches any
+    collision/stale-copy bug in the log-shift kernel that random sampling
+    might miss (the move schedule only depends on the hole pattern)."""
+    monkeypatch.setattr(sp, "BLK", 1 << 8)
+    monkeypatch.setattr(sp, "INTERPRET", True)
+    n = 1 << 8
+    for pat in range(0, 1 << 12, 7):  # stride keeps runtime ~1min
+        keys = np.arange(n, dtype=np.uint64) * 3 + 1
+        counts = (np.arange(n) % 251 + 1).astype(np.uint32)
+        holes = np.zeros(n, bool)
+        for b in range(12):
+            if (pat >> b) & 1:
+                holes[b * 21 % n] = True
+        # also hole a deterministic tail pattern tied to pat
+        if pat % 3 == 0:
+            holes[200:] = True
+        keys[holes] = S
+        counts[holes] = 0
+        _check(keys, counts)
