@@ -58,20 +58,28 @@ def _route_local(kmers, n_valid, n: int, cap: int):
     the global count of REAL k-mers that overflowed their destination
     buffer (the caller re-routes the batch with worst-case capacity when
     nonzero — degenerate inputs like poly-A reads can send everything to
-    one shard, which no statistical bound covers)."""
-    owner = owner_of(kmers, n)
+    one shard, which no statistical bound covers).
+
+    SENTINEL (invalid-window) entries are excluded from routing entirely:
+    they sort past every real owner group (owner forced to n) and never
+    consume destination capacity.  The send buffers are built by GATHER
+    from the owner-sorted array — no scatter (TPU XLA serializes scatters,
+    README design rule), and the round-3 duplicate-index scatter here
+    silently clobbered the slot-0 real k-mer of the shard SENTINEL hashed
+    to whenever sentinels overflowed cap (confirmed data-loss bug)."""
+    N = kmers.shape[0]
+    owner = jnp.where(kmers != extract.SENTINEL,
+                      owner_of(kmers, n), jnp.int32(n))
     order = jnp.argsort(owner)
     kmers_s = kmers[order]
     owner_s = owner[order]
-    group_start = jnp.searchsorted(owner_s, jnp.arange(n, dtype=jnp.int32))
-    slot = jnp.arange(kmers.shape[0]) - group_start[owner_s]
-    send = jnp.full((n, cap), extract.SENTINEL, dtype=jnp.uint64)
-    ok = slot < cap
-    send = send.at[owner_s, jnp.where(ok, slot, 0)].set(
-        jnp.where(ok, kmers_s, extract.SENTINEL)
-    )
+    bounds = jnp.searchsorted(owner_s, jnp.arange(n + 1, dtype=jnp.int32))
+    group_size = bounds[1:] - bounds[:-1]  # real entries per destination
+    src = bounds[:-1, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    send = jnp.where(src < bounds[1:, None],
+                     kmers_s[jnp.minimum(src, N - 1)], extract.SENTINEL)
     dropped = jax.lax.psum(
-        jnp.sum(~ok & (kmers_s != extract.SENTINEL), dtype=jnp.int64), "shard")
+        jnp.sum(jnp.maximum(group_size - cap, 0), dtype=jnp.int64), "shard")
     recv = jax.lax.all_to_all(send, "shard", split_axis=0, concat_axis=0, tiled=True)
     # replicated max-over-shards real count (pmax so every process can read it)
     n_real = jax.lax.pmax(

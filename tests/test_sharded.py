@@ -171,6 +171,64 @@ def test_route_capacity_overflow_reroutes():
     np.testing.assert_array_equal(got_c, want_c)
 
 
+def test_route_sentinel_flood_loses_nothing():
+    """Round-3 regression: a mixed batch whose rows are MOSTLY invalid
+    windows (the shape distributed_count_fastq produces for partial tail
+    buffers and N-rich reads) flooded the shard that SENTINEL hashes to,
+    and the duplicate-index scatter in _route_local clobbered that shard's
+    slot-0 real k-mer without firing the overflow re-route.  Sentinels must
+    not consume routing capacity at all: exact equality with the brute-force
+    recount, with reroutes == 0."""
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(37)
+    k = 15
+    n = 8
+    rows, L = 512, 48
+    mesh = sharded.make_mesh(n)
+    s_star = int(sharded.owner_of(
+        jnp.asarray([0xFFFFFFFFFFFFFFFF], dtype=jnp.uint64), n)[0])
+    # a base row whose FIRST window's canonical k-mer is owned by s_star —
+    # in the old scatter, that k-mer occupied slot 0 of the flooded group
+    # and was the one the overflow-sentinel writes clobbered
+    probe = None
+    for seed in range(500):
+        cand = np.random.default_rng(seed).integers(
+            0, 4, size=(1, L)).astype(np.uint8)
+        km = np.asarray(extract.extract_canonical(cand, k)[0])
+        if (km[0] != 0xFFFFFFFFFFFFFFFF
+                and int(sharded.owner_of(km[:1], n)[0]) == s_star):
+            probe = cand[0, :k]
+            break
+    assert probe is not None
+    # mostly-N batch (the partial-tail/N-rich shape): each device's first
+    # window is the planted s_star-owned k-mer, everything after is a
+    # sentinel flood far past the statistical per-destination cap
+    codes = np.full((rows, L), 255, dtype=np.uint8)
+    per_dev = rows // n
+    for d in range(n):
+        codes[d * per_dev, :k] = probe
+    sprinkle = _random_codes(rng, rows, L, n_rate=0.0)
+    pick = rng.random(codes.shape) < 0.02
+    codes[pick] = sprinkle[pick]
+    cap = sharded.default_route_capacity(per_dev, L - k + 1, n)
+    flat = np.asarray(extract.extract_canonical(codes[:per_dev], k)[0])
+    n_sent = int(np.count_nonzero(flat == 0xFFFFFFFFFFFFFFFF))
+    assert n_sent > cap, "test needs a per-device sentinel count past cap"
+
+    acc = sharded.ShardedCountAccumulator(mesh, k, rows // n, L)
+    ref = DeviceCountAccumulator(k)
+    acc.add_batch(codes)
+    ref.add_batch(codes)
+    assert acc.reroutes == 0, "sentinels must not trip the overflow path"
+    got_k, got_c = acc.finalize(ci=1)
+    want_k, want_c = ref.finalize(ci=1)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+
+
 def test_count_fastq_sharded_end_to_end(tmp_path):
     """FASTQ -> packed segments -> sharded extract/all_to_all -> per-shard
     LSM -> streaming finalize, wired through count_fastq(accumulator=
