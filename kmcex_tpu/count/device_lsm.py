@@ -419,6 +419,73 @@ def open_run_file(path: str) -> tuple[np.ndarray, np.ndarray]:
     return km, cm
 
 
+def one_pass_finalize(sources, ci: int, cs: int, disk_dir: str | None,
+                      cleanup=None):
+    """ONE k-way merge pass over sorted unique runs: computes the encode
+    sizing stats (total >= ci, low-counter histogram) while spooling the
+    merged table — to ``<disk_dir>/merged_*.bin`` when a disk dir is given
+    (the out-of-core regime) or to a RAM chunk list otherwise.  Returns
+    (total, hist, chunk_iter); the iterator yields ascending ci-filtered
+    cs-clamped (kmers, counts) chunks and runs ``cleanup`` when exhausted
+    or closed.  Replaces the merge-twice structure (stats pass + fresh
+    re-merge) that doubled the dominant I/O on the genome-scale path."""
+    import os
+
+    total = 0
+    hist = np.zeros(3, dtype=np.int64)
+    if disk_dir is not None:
+        os.makedirs(disk_dir, exist_ok=True)
+        kpath = os.path.join(disk_dir, "merged_k.bin")
+        cpath = os.path.join(disk_dir, "merged_c.bin")
+        n_all = 0
+        with open(kpath, "wb") as fk, open(cpath, "wb") as fc:
+            for mk, mc in DeviceCountAccumulator._merge_streams(sources):
+                total += int(np.count_nonzero(mc >= ci))
+                for i in range(3):
+                    hist[i] += int(np.count_nonzero(mc == ci + i))
+                n_all += len(mk)
+                mk.astype("<u8").tofile(fk)
+                mc.astype("<u4").tofile(fc)
+        if n_all == 0:
+            if cleanup is not None:
+                cleanup()
+            return 0, hist, iter(())
+        km = np.memmap(kpath, dtype="<u8", mode="r", shape=(n_all,))
+        cm = np.memmap(cpath, dtype="<u4", mode="r", shape=(n_all,))
+
+        def chunks(m: int = 1 << 22):
+            try:
+                for a in range(0, n_all, m):
+                    ku = np.asarray(km[a : a + m])
+                    kc = np.asarray(cm[a : a + m])
+                    keep = kc >= ci
+                    yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
+            finally:
+                if cleanup is not None:
+                    cleanup()
+
+        return total, hist, chunks()
+    # all-RAM regime: one pass accumulates the merged chunks directly
+    parts = []
+    for mk, mc in DeviceCountAccumulator._merge_streams(sources):
+        total += int(np.count_nonzero(mc >= ci))
+        for i in range(3):
+            hist[i] += int(np.count_nonzero(mc == ci + i))
+        parts.append((mk, mc))
+
+    def ram_chunks():
+        try:
+            for mk, mc in parts:
+                keep = mc >= ci
+                if keep.any():
+                    yield mk[keep], np.minimum(mc[keep], np.uint32(cs))
+        finally:
+            if cleanup is not None:
+                cleanup()
+
+    return total, hist, ram_chunks()
+
+
 def _decode_filter(meta, ci: int):
     """Decode one _pack_run meta into ascending ci-filtered (kmers, counts)
     chunks (counts in the packed stream are already cs-clamped)."""
@@ -673,19 +740,8 @@ class DeviceCountAccumulator:
 
         runs = [self._open_disk_run(p) for p in self.disk_runs]
         runs += [(k, c) for k, c in self.host_runs]
-        kpath = os.path.join(self._disk_dir, "merged_k.bin")
-        cpath = os.path.join(self._disk_dir, "merged_c.bin")
-        total = 0
-        hist = np.zeros(3, dtype=np.int64)
-        n_all = 0
-        with open(kpath, "wb") as fk, open(cpath, "wb") as fc:
-            for mk, mc in self._merge_streams(runs):
-                total += int(np.count_nonzero(mc >= ci))
-                for i in range(3):
-                    hist[i] += int(np.count_nonzero(mc == ci + i))
-                n_all += len(mk)
-                mk.astype("<u8").tofile(fk)
-                mc.astype("<u4").tofile(fc)
+        total, hist, it = one_pass_finalize(runs, ci, cs, self._disk_dir,
+                                            cleanup=self.close)
         del runs  # drop the memmaps so the run files can be unlinked
         self.host_runs = []
         for p in self.disk_runs:
@@ -694,23 +750,7 @@ class DeviceCountAccumulator:
             except OSError:
                 pass
         self.disk_runs = []
-        if n_all == 0:
-            self.close()
-            return 0, hist, iter(())
-        km = np.memmap(kpath, dtype="<u8", mode="r", shape=(n_all,))
-        cm = np.memmap(cpath, dtype="<u4", mode="r", shape=(n_all,))
-
-        def chunks(m: int = 1 << 22):
-            try:
-                for a in range(0, n_all, m):
-                    ku = np.asarray(km[a : a + m])
-                    kc = np.asarray(cm[a : a + m])
-                    keep = kc >= ci
-                    yield ku[keep], np.minimum(kc[keep], np.uint32(cs))
-            finally:
-                self.close()
-
-        return total, hist, chunks()
+        return total, hist, it
 
     def close(self) -> None:
         """Delete any disk-tier files this accumulator created (run files,

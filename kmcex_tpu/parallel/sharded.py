@@ -374,6 +374,11 @@ class ShardedCountAccumulator:
                     pass
         self.disk_runs = [[] for _ in range(self.n)]
         if self._disk_dir is not None:
+            for name in ("merged_k.bin", "merged_c.bin"):
+                try:
+                    os.unlink(os.path.join(self._disk_dir, name))
+                except OSError:
+                    pass
             if self._disk_dir_arg is None:
                 shutil.rmtree(self._disk_dir, ignore_errors=True)
             self._disk_dir = None
@@ -422,32 +427,33 @@ class ShardedCountAccumulator:
         """Streaming finalize with the same (total, low_hist, chunk_iter)
         contract as DeviceCountAccumulator.finalize_stream: ascending
         ci-filtered cs-clamped chunks, host memory bounded by
-        (n_runs + 1) merge windows — never the whole table.  ``n_chunks``
-        is kept for API compatibility."""
-        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+        (n_runs + 1) merge windows — never the whole table.  ONE k-way
+        merge traversal total (one_pass_finalize computes the sizing
+        stats while spooling the merged table — to disk when the disk
+        tier engaged, to RAM chunks otherwise).  ``n_chunks`` is kept
+        for API compatibility."""
+        from kmcex_tpu.count import device_lsm
 
         self._drain_to_host()
         sources = self._run_sources()
         if not sources:
             return 0, np.zeros(3, dtype=np.int64), iter(())
-        # pass 1: totals + low-counter histogram (the encode sizing pass)
-        total = 0
-        hist = np.zeros(3, dtype=np.int64)
-        for mk, mc in DeviceCountAccumulator._merge_streams(sources):
-            total += int(np.count_nonzero(mc >= ci))
-            for i in range(3):
-                hist[i] += int(np.count_nonzero(mc == ci + i))
+        disk_dir = self._disk_dir if any(self.disk_runs) else None
+        total, hist, it = device_lsm.one_pass_finalize(
+            sources, ci, cs, disk_dir, cleanup=self.close)
+        if disk_dir is not None:
+            # the merged spool replaced the run files; free them now
+            import os
 
-        def chunks():
-            try:
-                for mk, mc in DeviceCountAccumulator._merge_streams(sources):
-                    keep = mc >= ci
-                    if keep.any():
-                        yield mk[keep], np.minimum(mc[keep], np.uint32(cs))
-            finally:
-                self.close()
-
-        return total, hist, chunks()
+            del sources
+            for lst in self.disk_runs:
+                for p in lst:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+            self.disk_runs = [[] for _ in range(self.n)]
+        return total, hist, it
 
 
 def sharded_count(codes: np.ndarray, mesh: Mesh, k: int):

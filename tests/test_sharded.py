@@ -171,6 +171,34 @@ def test_route_capacity_overflow_reroutes():
     np.testing.assert_array_equal(got_c, want_c)
 
 
+def test_finalize_single_merge_traversal(tmp_path, monkeypatch):
+    """The out-of-core finalize must traverse the k-way merge ONCE (stats
+    computed while spooling), not merge-twice (round-3 weak #5)."""
+    from kmcex_tpu.count import device_lsm
+
+    rng = np.random.default_rng(31)
+    k, n, rows, L = 15, 8, 16, 48
+    mesh = sharded.make_mesh(n)
+    acc = sharded.ShardedCountAccumulator(
+        mesh, k, rows // n, L, raw_tier_elems=64, spill_threshold=256,
+        disk_spill_bytes=2048, disk_dir=str(tmp_path / "lsm"))
+    for _ in range(9):
+        acc.add_batch(_random_codes(rng, rows, L))
+    calls = []
+    orig = device_lsm.DeviceCountAccumulator._merge_streams
+
+    def counting(runs, chunk_elems=1 << 22):
+        calls.append(1)
+        return orig(runs, chunk_elems)
+
+    monkeypatch.setattr(device_lsm.DeviceCountAccumulator, "_merge_streams",
+                        staticmethod(counting))
+    total, hist, it = acc.finalize_stream(ci=1)
+    for _ in it:
+        pass
+    assert sum(calls) == 1
+
+
 def test_route_sentinel_flood_loses_nothing():
     """Round-3 regression: a mixed batch whose rows are MOSTLY invalid
     windows (the shape distributed_count_fastq produces for partial tail
