@@ -176,6 +176,8 @@ def main() -> None:
             log(f"query benchmark skipped: {e}")
 
     vs_baseline = 0.0
+    vs_baseline_pinned = 0.0
+    pin_path = pathlib.Path(__file__).parent / "bench_pins.json"
     harness = build_ref_harness()
     if harness:
         db = BENCH_DIR / "bench_db"
@@ -197,6 +199,31 @@ def main() -> None:
             f"missing blob): {t_ref:.2f}s -> {ref_reads_per_s:,.0f} reads/s"
         )
         vs_baseline = reads_per_s / ref_reads_per_s
+
+        # Pinned baseline: the session ratio is statistically fragile (the
+        # C++ harness swings 1.6-2.5s across sessions on this rig, which
+        # in round 3 made a +44% improvement in our absolute number LOOK
+        # like a regression in the ratio).  bench_pins.json records the
+        # fastest baseline time ever observed for this exact workload;
+        # both ratios are reported and the pin tightens monotonically.
+        pins = {}
+        try:
+            pins = json.loads(pin_path.read_text())
+        except Exception:
+            pass
+        key = f"baseline_encode_seconds_n{stats.reads}"
+        pinned_t = pins.get(key)
+        if pinned_t is None or t_ref < pinned_t:
+            pins[key] = round(t_ref, 3)
+            pinned_t = t_ref
+            try:
+                pin_path.write_text(json.dumps(pins, indent=1) + "\n")
+                log(f"pinned baseline updated: {key} = {t_ref:.3f}s")
+            except OSError as e:
+                log(f"pin file not writable: {e}")
+        vs_baseline_pinned = reads_per_s / (stats.reads / pinned_t)
+        log(f"vs_baseline session {vs_baseline:.3f} / pinned "
+            f"{vs_baseline_pinned:.3f} (pinned ref {pinned_t:.2f}s)")
 
         # memory-saving ratio (the reference README's headline metric):
         # KMC database bytes vs encoded model bytes
@@ -301,6 +328,7 @@ def main() -> None:
         "value": round(reads_per_s / 1e6, 4),
         "unit": "Mreads/s",
         "vs_baseline": round(vs_baseline, 3),
+        "vs_baseline_pinned": round(vs_baseline_pinned, 3),
         "mem_ratio_30x_vs_raw_input": round(mem_ratio_raw, 2),
         "mem_ratio_30x_vs_kmc_db": round(mem_ratio_db, 2),
         "mem_ratio_realistic": round(mem_ratio_realistic, 2),

@@ -6,33 +6,36 @@ key sort + segment-count pass (count/extract.segment_compact), duplicate
 slots are SENTINEL-marked and the survivors must be compacted.  Re-sorting
 globally (the round-2 approach) costs the full O(n log^2 n) 3-plane network
 again (~0.6s for 32M pairs on v5e).  Compaction exploits what that re-sort
-ignores: the array is ALREADY globally sorted, so
+ignores: the array is ALREADY globally sorted, so per-block compaction +
+cheap stitching suffices:
 
-  * within each 2^18-element block, one forced-ascending bitonic block sort
-    (sort_pallas._block_sort, 3 planes, in VMEM) pushes the SENTINEL holes
-    to the block tail — valid keys are distinct and ascending, so the sort
-    IS the stable compaction;
-  * NO cross-block merge tree is needed: block b's survivors all precede
-    block b+1's.  Blocks are stitched by a sequential chain of in-place
-    dynamic_update_slice writes (a fori_loop carry — XLA updates the carry
-    buffer in place): block b's full 2^18 slots land at offset
+  * PRIMARY (default): a receiver-centric LOG-SHIFT kernel per 2^18 block
+    (_shift_compact_kernel) — each survivor's displacement is the hole
+    prefix sum, applied LSB-to-MSB as ~log2(blk) roll-and-pull passes.
+    O(log blk) single-roll passes instead of the block-sort network's
+    O(log^2 blk) compare-exchanges.  An earlier round-3 formulation of the
+    same idea was a recorded negative result (Mosaic compiled it in 9-23
+    MINUTES); what fixed the pathology: receiver-centric pulls instead of
+    conditional scatters, i32 mask algebra (no vector bools), traced roll
+    distances inside two fori_loops (lane-stride then sublane-stride), and
+    row-major logical order so no transposes surround the kernel.
+  * FALLBACK (KMCEX_COMPACT_SORT=1): one forced-ascending bitonic block
+    sort (sort_pallas._block_sort, 3 planes, in VMEM) pushes the SENTINEL
+    holes to each block's tail — valid keys are distinct and ascending, so
+    the sort IS the stable compaction.  This was the round-3 default and
+    stays as the semantics cross-check.
+  * Either way NO cross-block merge tree is needed: block b's survivors
+    all precede block b+1's.  Blocks are stitched by a sequential chain of
+    in-place dynamic_update_slice writes (a fori_loop carry — XLA updates
+    the carry buffer in place): block b's full 2^18 slots land at offset
     sum(v_0..v_{b-1}), so block b+1's real data overwrites block b's
     SENTINEL tail and the final tail stays (SENTINEL, 0) from the init.
 
-That drops the cross-block merge stages (~40% of a full sort) and one
-plane of traffic vs the re-sort.
-
-Negative results recorded (round 3, this rig):
-  * a log-shift move kernel (displacement = hole prefix sum; 18 conditional
-    roll steps, provably collision-free) is ~8x cheaper arithmetically, but
-    Mosaic compiles it pathologically — 9 MINUTES statically unrolled, >23
-    as a traced-shift fori_loop — and tripped three x64 lowering bugs on
-    the way (bool*bool recursion in _convert_helper, i64 roll shifts, i64
-    semaphore indices);
-  * a pallas HBM->HBM DMA stitch fails outright: Mosaic requires DMA slice
-    offsets divisible by the rank-1 tiling (1024 elements), and compaction
-    offsets are arbitrary.  dynamic_update_slice handles unaligned offsets
-    and XLA keeps the loop-carry update in place.
+Remaining negative result (round 3, this rig): a pallas HBM->HBM DMA
+stitch fails outright — Mosaic requires DMA slice offsets divisible by the
+rank-1 tiling (1024 elements), and compaction offsets are arbitrary.
+dynamic_update_slice handles unaligned offsets and XLA keeps the
+loop-carry update in place.
 
 No reference counterpart: the reference counts in the external kmc binary
 (SURVEY.md §2 C2); this is part of its TPU-native replacement.

@@ -152,6 +152,11 @@ def _pad_tiles_pow2(tiles_list):
     so bitonicity is preserved)."""
     from kmcex_tpu.count import sort_pallas
 
+    for t in tiles_list:
+        # merge-tree correctness needs local block parity == global block
+        # parity, which _stage_to_tiles guarantees by flushing whole block
+        # PAIRS; make the invariant explicit for any future caller
+        assert t[0].shape[0] % 2 == 0, "flush tiles must have even blocks"
     hi = jnp.concatenate([t[0] for t in tiles_list])
     lo = jnp.concatenate([t[1] for t in tiles_list])
     B = hi.shape[0]

@@ -8,7 +8,10 @@ Reads are segmented into fixed-length windows with k-1 overlap so every
 k-mer window appears in exactly one segment row and all device tensors have
 static shapes (XLA requirement).  Non-ACGT bases map to code 255; the
 extraction kernel masks windows containing them (the same semantics as KMC
-splitting reads at N, kmc_file.cpp:1008-1023).
+splitting reads at N, kmc_file.cpp:1008-1023).  Multi-line (wrapped) FASTA
+records are joined per record with a k-1 carry across parse chunks, so no
+k-mer spans are lost at line breaks (the reference CLI is FASTQ-only,
+main.cpp:43-46; FASTA support is this rebuild's extension).
 
 Parsing and segmentation are fully vectorized NumPy over ~16MB chunks: the
 line scan is one flatnonzero over newline bytes and the segment matrix is one
@@ -192,13 +195,65 @@ def split_byte_ranges(path: str, n_parts: int) -> list[tuple[int, int]]:
     return [(bounds[i], bounds[i + 1]) for i in range(n_parts)]
 
 
-def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24,
-                    byte_range: tuple[int, int] | None = None):
-    """Yield (block_bytes, starts, ends) arrays of sequence-line spans.
+def _join_fasta_records(block: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray, tail: bytes, k: int):
+    """Concatenate a chunk's FASTA sequence lines per record into one
+    contiguous buffer (wrapped 60-80 column genomes are the normal case;
+    round-3 treated every line as its own read, silently losing every
+    k-mer spanning a line break — ~40% of windows at 70 cols, k=31).
 
-    FASTQ: every 4th line starting from line 1.  FASTA: non-header lines
-    (multi-line sequences appear as separate spans; k-mers do not cross FASTA
-    line breaks in this implementation — matching typical one-line FASTA).
+    ``tail`` is the open record's last k-1 bases from the previous chunk;
+    it is prepended when the chunk's first sequence lines continue that
+    record, so no window is lost at the chunk seam.  Returns (joined,
+    rec_starts, rec_ends, n_records, n_bases, new_tail); n_bases excludes
+    the prepended tail (no double counting)."""
+    hdr = block[starts] == ord(">")
+    seq = ~hdr
+    lens = (ends - starts)[seq]
+    s_seq = starts[seq]
+    n_bases = int(lens.sum())
+    rec_of_line = np.cumsum(hdr)[seq]  # 0 = continuation of the open record
+    n_records = int(hdr.sum())
+    cont = len(rec_of_line) > 0 and rec_of_line[0] == 0
+    lead = np.frombuffer(tail if cont else b"", dtype=np.uint8)
+    total = len(lead) + n_bases
+    joined = np.empty(total, dtype=np.uint8)
+    joined[: len(lead)] = lead
+    if n_bases:
+        # one fancy gather moves every sequence byte (vectorized join)
+        line_of_byte = np.repeat(np.arange(len(lens)), lens)
+        cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        idx = s_seq[line_of_byte] + (np.arange(n_bases) - cum[line_of_byte])
+        joined[len(lead):] = block[idx]
+    if len(rec_of_line) == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return joined, empty, empty, n_records, 0, b"" if n_records else tail
+    cumlens = np.concatenate([[0], np.cumsum(lens)]) + len(lead)
+    new_rec = np.concatenate([[True], rec_of_line[1:] != rec_of_line[:-1]])
+    rec_starts = cumlens[:-1][new_rec]
+    rec_ends = np.concatenate([rec_starts[1:], [total]]).astype(np.int64)
+    rec_starts = rec_starts.astype(np.int64)
+    if cont:
+        rec_starts[0] = 0  # include the carried k-1 prefix
+    # open iff the chunk's LAST line belongs to a sequence (not a header)
+    if hdr[-1]:
+        new_tail = b""
+    else:
+        lo = max(int(rec_starts[-1]), total - (k - 1))
+        new_tail = joined[lo:total].tobytes()
+    return joined, rec_starts, rec_ends, n_records, n_bases, new_tail
+
+
+def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24,
+                    byte_range: tuple[int, int] | None = None, k: int = 1):
+    """Yield (block_bytes, starts, ends, n_reads, n_bases) sequence spans.
+
+    FASTQ: every 4th line starting from line 1, one span per read.
+    FASTA: sequence lines JOINED per record (see _join_fasta_records) —
+    wrapped multi-line records lose no k-mers; a record continuing across
+    a chunk seam reappears as a new span carrying its previous k-1 bases,
+    so n_reads/n_bases (records by header / bases excluding carry) are the
+    accurate statistics, not len(starts)/sum(ends-starts).
     ``byte_range`` restricts parsing to a record-aligned window (see
     split_byte_ranges).
     """
@@ -207,19 +262,27 @@ def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24,
         if not head:
             head = b"@"
         is_fasta = head == b">"
-        carry = b""
+        carry = b""      # incomplete trailing line
+        fa_tail = b""    # FASTA: open record's last k-1 bases
         fastq_phase = 0
-        while True:
+        eof = False
+        while not eof:
             chunk = f.read(chunk_bytes)
             if not chunk:
-                break
-            data = carry + chunk
-            last_nl = data.rfind(b"\n")
-            if last_nl < 0:
-                carry = data
-                continue
-            carry = data[last_nl + 1 :]
-            block = np.frombuffer(data[: last_nl + 1], dtype=np.uint8)
+                eof = True
+                if not carry:
+                    break
+                data = carry + b"\n"  # flush a final unterminated line
+                carry = b""
+            else:
+                data = carry + chunk
+                last_nl = data.rfind(b"\n")
+                if last_nl < 0:
+                    carry = data
+                    continue
+                carry = data[last_nl + 1 :]
+                data = data[: last_nl + 1]
+            block = np.frombuffer(data, dtype=np.uint8)
             nl = np.flatnonzero(block == 10)
             starts = np.empty_like(nl)
             starts[0] = 0
@@ -229,18 +292,16 @@ def _iter_seq_spans(path: str, chunk_bytes: int = 1 << 24,
             crlf = (ends > starts) & (block[np.maximum(ends - 1, 0)] == 13)
             ends = ends - crlf.astype(ends.dtype)
             if is_fasta:
-                keep = block[starts] != ord(">")
+                joined, js, je, n_rec, n_b, fa_tail = _join_fasta_records(
+                    block, starts, ends, fa_tail, k)
+                if len(js) or n_rec:
+                    yield joined, js, je, n_rec, n_b
             else:
                 n = len(starts)
                 keep = (np.arange(n) + fastq_phase) % 4 == 1
                 fastq_phase = (fastq_phase + n) % 4
-            yield block, starts[keep], ends[keep]
-        if carry:
-            block = np.frombuffer(carry, dtype=np.uint8)
-            if is_fasta and carry[:1] != b">":
-                yield block, np.array([0]), np.array([len(block)])
-            elif not is_fasta and fastq_phase == 1:
-                yield block, np.array([0]), np.array([len(block)])
+                s, e = starts[keep], ends[keep]
+                yield block, s, e, len(s), int((e - s).sum())
 
 
 def _segment_spans(
@@ -339,6 +400,14 @@ class SegmentStream:
             with _open_input(path, self.byte_range) as f:
                 head = f.peek(1)[:1] if hasattr(f, "peek") else b""
                 is_fasta = head == b">"
+                if is_fasta:
+                    # FASTA goes through the NumPy record-joiner: the native
+                    # segmenter is line-at-a-time, so wrapped (60-80 col)
+                    # records would lose every k-mer spanning a line break.
+                    # Rows still fill the shared native batch buffer so
+                    # mixed FASTQ/FASTA @lists batch seamlessly.
+                    buf, row = yield from self._fasta_into_buf(path, buf, row)
+                    continue
                 phase = 0
                 carry = b""
                 eof = False
@@ -381,14 +450,43 @@ class SegmentStream:
         if row:
             yield buf
 
+    def _fasta_into_buf(self, path: str, buf, row: int):
+        """Generator: segment one FASTA file (record-joined spans) into the
+        shared native batch buffer; yields full buffers, returns the final
+        (buf, row)."""
+        from kmcex_tpu.count.extract import pack_codes_np
+
+        for block, starts, ends, n_reads, n_bases in _iter_seq_spans(
+                path, byte_range=self.byte_range, k=self.k):
+            self.reads += n_reads
+            self.bases += n_bases
+            segs = _segment_spans(block, starts, ends, self.k, self.seg_len)
+            off = 0
+            while off < len(segs):
+                take = min(len(segs) - off, self.batch_segs - row)
+                part = segs[off : off + take]
+                if self.packed:
+                    p, mbits = pack_codes_np(part)
+                    buf[0][row : row + take] = p
+                    buf[1][row : row + take] = mbits
+                else:
+                    buf[row : row + take] = part
+                row += take
+                off += take
+                if row == self.batch_segs:
+                    yield buf
+                    buf = self._new_buf()
+                    row = 0
+        return buf, row
+
     def _iter_numpy(self) -> Iterator[np.ndarray]:
         pend: list[np.ndarray] = []
         pend_rows = 0
         for path in resolve_inputs(self.input_spec):
-            for block, starts, ends in _iter_seq_spans(
-                    path, byte_range=self.byte_range):
-                self.reads += len(starts)
-                self.bases += int((ends - starts).sum())
+            for block, starts, ends, n_reads, n_bases in _iter_seq_spans(
+                    path, byte_range=self.byte_range, k=self.k):
+                self.reads += n_reads
+                self.bases += n_bases
                 segs = _segment_spans(block, starts, ends, self.k, self.seg_len)
                 if len(segs) == 0:
                     continue
@@ -417,9 +515,10 @@ def sniff_read_length(input_spec: str, max_reads: int = 10000) -> int:
     lens: list[np.ndarray] = []
     seen = 0
     for path in resolve_inputs(input_spec):
-        for _, starts, ends in _iter_seq_spans(path, chunk_bytes=1 << 22):
+        for _, starts, ends, n_reads, _b in _iter_seq_spans(
+                path, chunk_bytes=1 << 22):
             lens.append(ends - starts)
-            seen += len(starts)
+            seen += n_reads
             if seen >= max_reads:
                 break
         break

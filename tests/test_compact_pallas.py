@@ -115,7 +115,8 @@ def test_compact_exhaustive_tiny_blocks(monkeypatch):
     might miss (the move schedule only depends on the hole pattern)."""
     monkeypatch.setattr(sp, "BLK", 1 << 8)
     monkeypatch.setattr(sp, "INTERPRET", True)
-    n = 1 << 8
+    n = 2 << 8  # TWO blocks: the hole patterns also drive nonzero
+    # dynamic_update_slice stitch offsets, not just the in-block kernel
     for pat in range(0, 1 << 12, 7):  # stride keeps runtime ~1min
         keys = np.arange(n, dtype=np.uint64) * 3 + 1
         counts = (np.arange(n) % 251 + 1).astype(np.uint32)
@@ -125,7 +126,7 @@ def test_compact_exhaustive_tiny_blocks(monkeypatch):
                 holes[b * 21 % n] = True
         # also hole a deterministic tail pattern tied to pat
         if pat % 3 == 0:
-            holes[200:] = True
+            holes[200:300] = True
         keys[holes] = S
         counts[holes] = 0
         _check(keys, counts)

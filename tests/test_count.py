@@ -117,6 +117,64 @@ def test_fasta_input(tmp_path):
     assert got == dict(want)
 
 
+def test_wrapped_fasta_matches_unwrapped(tmp_path):
+    """A standard 70-column wrapped genome must count every k-mer — incl.
+    the ~40% of windows spanning line breaks that the round-3 per-line
+    segmentation silently lost.  Checked across chunk seams (tiny
+    chunk_bytes forces records to straddle chunks), in all four stream
+    modes (native/numpy x packed/unpacked)."""
+    rng = np.random.default_rng(17)
+    k = 31
+    seqs = []
+    for i in range(5):
+        L = int(rng.integers(150, 4000))
+        chars = rng.choice(list("ACGTN"), size=L, p=[0.24] * 4 + [0.04])
+        seqs.append("".join(chars))
+    flat = tmp_path / "flat.fa"
+    wrapped = tmp_path / "wrap.fa"
+    with open(flat, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n{s}\n")
+    with open(wrapped, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">s{i}\n")
+            for a in range(0, len(s), 70):
+                f.write(s[a : a + 70] + "\n")
+    want = brute_counts(seqs, k)
+    for use_native in (True, False):
+        for packed in (True, False):
+            st = fastq.SegmentStream(str(wrapped), k, seg_len=128,
+                                     batch_segs=32, use_native=use_native,
+                                     packed=packed)
+            got: Counter = Counter()
+            for b in st:
+                if packed:
+                    km, _ = extract.extract_canonical_packed(*b, k)
+                else:
+                    km, _ = extract.extract_canonical(b, k)
+                km = np.asarray(km)
+                got.update(km[km != 0xFFFFFFFFFFFFFFFF].tolist())
+            assert got == want, (use_native, packed)
+            assert st.reads == len(seqs)
+            assert st.bases == sum(len(s) for s in seqs)
+    # chunk-seam carry: records straddling 1KB parse chunks lose nothing
+    from kmcex_tpu.io.fastq import _iter_seq_spans, _segment_spans
+
+    got2: Counter = Counter()
+    reads2 = bases2 = 0
+    for block, s, e, nr, nb in _iter_seq_spans(str(wrapped),
+                                               chunk_bytes=1024, k=k):
+        reads2 += nr
+        bases2 += nb
+        segs = _segment_spans(block, s, e, k, 128)
+        if len(segs):
+            km = np.asarray(extract.extract_canonical(segs, k)[0])
+            got2.update(km[km != 0xFFFFFFFFFFFFFFFF].tolist())
+    assert got2 == want
+    assert reads2 == len(seqs)
+    assert bases2 == sum(len(s) for s in seqs)
+
+
 def test_accumulator_merging():
     # many tiny batches must merge to the same result as one big batch
     rng = np.random.default_rng(3)
