@@ -171,30 +171,75 @@ def _pad_tiles_pow2(tiles_list):
 
 
 @jax.jit
-def _merge_tiles_sorted(tiles_list):
-    """Block-sorted tiles -> globally sorted flat u64 (SENTINEL-padded):
-    cross-block bitonic merge tree + the one transpose back to natural
-    order.  The block network already ran per flush (_stage_to_tiles)."""
+def _sort_flush_run(tiles):
+    """Pad one block-sorted flush to a power-of-two block count and run its
+    PRIVATE merge tree -> a fully ASCENDING tile run.  Dispatched at
+    arrival: the flush's share of the cross-block merge tree — formerly
+    the dominant slice of the finalize's merge+stats phase — runs while
+    the host is still parsing/uploading later batches, exactly like the
+    block network itself (_stage_to_tiles)."""
     from kmcex_tpu.count import sort_pallas
 
-    tiles, total = _pad_tiles_pow2(tiles_list)
-    tiles = sort_pallas._merge_tree(tiles, 2)
-    return sort_pallas._from_tiles(tiles, total)
+    tiles, _ = _pad_tiles_pow2([tiles])
+    return sort_pallas._merge_tree(tiles, 2)
 
 
 @jax.jit
-def _collapse_tiles_kernel(tiles_list):
-    """Tile-mode analogue of _collapse_kernel: merge-tree + segment count."""
-    uniq, counts, n_unique = segment_compact(_merge_tiles_sorted(tiles_list))
+def _merge_tile_runs(a, b):
+    """Merge two fully-ascending tile runs into one: flip b (reversing all
+    three plane axes reverses the column-major logical order), concatenate
+    with all-SENTINEL middle padding up to a power-of-two block count (the
+    padding must sit at the bitonic peak), then run ONE top-level bitonic
+    stage — the tile-level analogue of sort_pallas.merge_sorted_u64.
+    Cost is a single O(log n) stage instead of the full O(log^2 n) tree."""
+    from kmcex_tpu.count import sort_pallas
+
+    Ba, Bb = a[0].shape[0], b[0].shape[0]
+    total = _next_pow2(Ba + Bb)
+    pad = total - Ba - Bb
+    parts = []
+    for x, y in zip(a, b):
+        yf = jnp.flip(y, axis=(0, 1, 2))
+        if pad:
+            mid = jnp.full((pad,) + x.shape[1:], np.uint32(0xFFFFFFFF),
+                           jnp.uint32)
+            parts.append(jnp.concatenate([x, mid, yf]))
+        else:
+            parts.append(jnp.concatenate([x, yf]))
+    return sort_pallas._merge_tree(tuple(parts), 2,
+                                   first_level=total.bit_length() - 1,
+                                   asc_override=True)
+
+
+@jax.jit
+def _collapse_sorted_run(tiles):
+    """Sorted ascending tile run -> (uniq, counts, n_unique) via one
+    segment-count pass (no merge tree: the run LSM already sorted it)."""
+    from kmcex_tpu.count import sort_pallas
+
+    s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
+    uniq, counts, n_unique = segment_compact(s)
     return uniq, counts, n_unique.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _fused_finalize_tiles(tiles_list, ci, n_rows: int):
-    """Tile-mode analogue of _fused_finalize: merge-tree, segment-count,
-    compact, stats — one device program."""
-    u, c, _ = segment_compact(_merge_tiles_sorted(tiles_list))
+def _finalize_sorted_run(tiles, ci, n_rows: int):
+    """Fused finalize of an already-sorted tile run: segment-count,
+    compact, stats — one device program, no merge tree."""
+    from kmcex_tpu.count import sort_pallas
+
+    s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
+    u, c, _ = segment_compact(s)
     return u, c, _final_stats(u, c, ci, n_rows)
+
+
+@jax.jit
+def _sorted_boundary_run(tiles, ci):
+    """Boundary-mark an already-sorted tile run (segmented-finalize path)."""
+    from kmcex_tpu.count import sort_pallas
+
+    s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
+    return _boundary_mark(s, ci)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -280,12 +325,6 @@ def _sorted_boundary(kmers_list, ci):
     return _boundary_mark(sorted_u64(flat), ci)
 
 
-@jax.jit
-def _sorted_boundary_tiles(tiles_list, ci):
-    """Tile-mode analogue of _sorted_boundary (see _stage_to_tiles)."""
-    return _boundary_mark(_merge_tiles_sorted(tiles_list), ci)
-
-
 def _boundary_mark(s, ci):
     n = s.shape[0]
     idxs = jnp.arange(n, dtype=jnp.int32)
@@ -348,13 +387,17 @@ def _pack_bits(vals: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _pack_row(kmers, counts, row, m: int, wbits: int, cbits: int, cs: int):
-    """Bit-pack transfer row ``row`` (entries [row*m, row*m + m)) of the
-    sorted table: consecutive-k-mer deltas at ``wbits`` bits each plus
-    cs-clamped counts at ``cbits`` bits.  Row widths come from the per-row
-    maxima in _final_stats; the native kx_unpack_deltas/kx_unpack_counts
-    reverse this at memory speed."""
-    start = row * m
+def _pack_span(kmers, counts, start, m: int, wbits: int, cbits: int, cs: int):
+    """Bit-pack one span of ``m`` entries starting at traced offset
+    ``start``: consecutive-k-mer deltas at ``wbits`` bits each plus
+    cs-clamped counts at ``cbits`` bits.  The native
+    kx_unpack_deltas/kx_unpack_counts reverse this at memory speed.
+
+    ``start`` is TRACED and ``m`` comes from a fixed granule ladder
+    (_pack_plan), so the jit key (m, wbits, cbits, cs) is INDEPENDENT of
+    the table's size and content — the round-3 fused pack was keyed on
+    the full data-dependent per-row spec tuple, which recompiled a
+    5-16 SECOND monolith for every new dataset."""
     seg = jax.lax.dynamic_slice(kmers, (start,), (m,))
     prev = jnp.where(start > 0, kmers[jnp.maximum(start - 1, 0)], seg[0])
     d = seg - jnp.concatenate([prev[None], seg[:-1]])
@@ -368,23 +411,38 @@ def _pack_row(kmers, counts, row, m: int, wbits: int, cbits: int, cs: int):
     return kb, cb
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _pack_rows_fused(kmers, counts, row_specs: tuple, m: int, cs: int):
-    """Pack EVERY transfer row into ONE pair of u8 buffers (keys, counts).
+# Packing granule: 2^18-entry spans keep the pull pipeline fine-grained
+# (first chunk reaches the encoder after ~1.5MB, not ~7MB) and bound the
+# padded-slot waste past n_real to < 2^18 entries.  A coarser 2^20 granule
+# measured SLOWER end-to-end (+0.15s chunk_wait): fewer, larger pull
+# groups delay the encoder's first chunk more than the saved dispatches.
+PACK_SPAN_ELEMS = 1 << 18
+PACK_TAIL_ELEMS = 1 << 18
 
-    ``row_specs`` is a static tuple of per-row (wbits, cbits).  One device
-    program + two output buffers instead of one program + two buffers per
-    row: on this rig's relay each separately-pulled device buffer pays a
-    fixed ~30ms latency (28 row buffers throttled the table pull to
-    ~16MB/s), while async pulls of SLICES of a single buffer pipeline at
-    ~54MB/s.  The caller pulls row-group slices of these buffers so the
-    host decode still streams."""
-    kb_parts, cb_parts = [], []
-    for i, (wbits, cbits) in enumerate(row_specs):
-        kb, cb = _pack_row(kmers, counts, i, m, wbits, cbits, cs)
-        kb_parts.append(kb)
-        cb_parts.append(cb)
-    return jnp.concatenate(kb_parts), jnp.concatenate(cb_parts)
+
+def _pack_plan(size: int, n_real: int, row_gap, row_cnt, n_rows: int,
+               cs: int) -> list[tuple[int, int, int, int]]:
+    """Spans covering [0, ~n_real) on the fixed granule ladder: coarse
+    PACK_SPAN_ELEMS spans then PACK_TAIL_ELEMS tail spans.  Each span's
+    (start, m, wbits, cbits); widths are maxima over the _final_stats row
+    granules the span covers, rounded up to a multiple of 4."""
+    stat_m = size // n_rows
+    plan = []
+    start = 0
+    while start < n_real:
+        m = PACK_SPAN_ELEMS
+        if m > size or start + m > ((n_real + PACK_TAIL_ELEMS - 1)
+                                    // PACK_TAIL_ELEMS) * PACK_TAIL_ELEMS:
+            m = min(PACK_TAIL_ELEMS, size)
+        g0 = start // stat_m
+        g1 = min(-(-(start + m) // stat_m), n_rows)
+        gap = max(int(row_gap[g]) for g in range(g0, g1))
+        cnt = min(max(int(row_cnt[g]) for g in range(g0, g1)), cs)
+        wbits = min(64, -(-max(1, gap.bit_length()) // 4) * 4)
+        cbits = min(32, -(-max(1, cnt.bit_length()) // 4) * 4)
+        plan.append((start, m, wbits, cbits))
+        start += m
+    return plan
 
 
 def _next_pow2(n: int) -> int:
@@ -551,15 +609,18 @@ class DeviceCountAccumulator:
         self.disk_runs: list[str] = []
         self.raw: list[jnp.ndarray] = []
         self.raw_elems = 0
-        # tile mode (Pallas backend): incoming batches are block-sorted as
-        # they land (self.tiles accumulates (hi, lo) plane pairs; self.raw
-        # is the < 2-block staging remainder) so the finalize pays only the
-        # cross-block merge tree.  Off the Pallas path, self.raw holds flat
-        # vectors and the finalize sorts them whole (CPU fallback).
+        # tile mode (Pallas backend): incoming batches are block-sorted AND
+        # fully sorted per flush as they land, then flush runs merge
+        # pairwise in an LSM of ascending tile runs (self.tile_runs) — one
+        # top-level bitonic stage per merge.  The finalize pays only the
+        # LAST merge + segment count; the rest of the sort ran while the
+        # host was still parsing/uploading.  Off the Pallas path, self.raw
+        # holds flat vectors and the finalize sorts them whole (CPU
+        # fallback).
         from kmcex_tpu.count import sort_pallas as _sp
 
         self.tile_mode = _sp.use_pallas_sort()
-        self.tiles: list[tuple[jnp.ndarray, jnp.ndarray]] = []
+        self.tile_runs: list[tuple[jnp.ndarray, jnp.ndarray]] = []
         self._stage_elems = 0
         self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
         self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
@@ -592,21 +653,40 @@ class DeviceCountAccumulator:
             self._collapse_raw()
 
     def _flush_stage(self) -> None:
-        """Tile mode: block-sort the staged flat batches into parity tiles
-        (dispatched now, overlapping later batches' parse/upload)."""
+        """Tile mode: block-sort the staged flat batches, fully sort the
+        flush into one ascending run, and fold it into the tile-run LSM —
+        all dispatched now, overlapping later batches' parse/upload."""
         if not self.raw:
             return
-        self.tiles.append(_stage_to_tiles(tuple(self.raw)))
+        flush = _stage_to_tiles(tuple(self.raw))
         self.raw = []
         self._stage_elems = 0
+        self._push_tile_run(_sort_flush_run(flush))
+
+    def _push_tile_run(self, run) -> None:
+        self.tile_runs.append(run)
+        while (len(self.tile_runs) >= 2
+               and self.tile_runs[-2][0].shape[0]
+               <= self.tile_runs[-1][0].shape[0]):
+            b = self.tile_runs.pop()
+            a = self.tile_runs.pop()
+            self.tile_runs.append(_merge_tile_runs(a, b))
+
+    def _merged_tile_run(self):
+        """Merge the remaining LSM runs (smallest pairs first) down to ONE
+        ascending run — only the final merge happens after the last batch."""
+        while len(self.tile_runs) >= 2:
+            b = self.tile_runs.pop()
+            a = self.tile_runs.pop()
+            self.tile_runs.append(_merge_tile_runs(a, b))
+        return self.tile_runs.pop()
 
     def _collapse_raw(self) -> None:
         if self.tile_mode:
             self._flush_stage()
-            if not self.tiles:
+            if not self.tile_runs:
                 return
-            uniq, counts, nu = _collapse_tiles_kernel(tuple(self.tiles))
-            self.tiles = []
+            uniq, counts, nu = _collapse_sorted_run(self._merged_tile_run())
             self.raw_elems = 0
             self._after_collapse(uniq, counts, nu)
             return
@@ -919,8 +999,7 @@ class DeviceCountAccumulator:
             "first_k": int(flat[5]), "first_c": int(flat[6]),
             "last_k": int(flat[7]), "last_c": int(flat[8]), "cs": int(cs),
         }
-        m = size // n_rows  # entries per row
-        if m % 8:  # tiny table: pull it raw, no packing
+        if size % 8:  # tiny table: pull it raw, no packing
             ku = np.asarray(u)[:n_real]
             kc = np.minimum(np.asarray(c)[:n_real].astype(np.uint32),
                             np.uint32(cs))
@@ -928,39 +1007,38 @@ class DeviceCountAccumulator:
             return meta
         row_gap = flat[9 : 9 + n_rows]
         row_cnt = np.minimum(flat[9 + n_rows : 9 + 2 * n_rows], np.uint64(cs))
-        row_specs = []
-        for i in range(n_rows):
-            if i * m >= n_real:
-                break  # trailing rows are pure padding; skip the transfer
-            # round widths up to a multiple of 4 so the compiled-variant
-            # count stays small (16 x 8 worst case, <= 3 extra bits per
-            # entry; each distinct row_specs tuple is its own compiled
-            # program, and mid-stream compiles stall the transfer pipeline)
-            wbits = min(64, -(-max(1, int(row_gap[i]).bit_length()) // 4) * 4)
-            cbits = min(32, -(-max(1, int(row_cnt[i]).bit_length()) // 4) * 4)
-            row_specs.append((wbits, cbits))
-        kb_all, cb_all = _pack_rows_fused(u, c, tuple(row_specs), m, int(cs))
-        # Pull the two buffers as row-group SLICES: slices of one buffer
-        # pipeline on the relay (~54MB/s) where separate small buffers pay
-        # ~30ms each (~16MB/s), and group granularity keeps the host decode
-        # streaming (feed of group g overlaps the pull of group g+1).
-        n_groups = max(1, min(8, len(row_specs)))
-        per = -(-len(row_specs) // n_groups)
+        plan = _pack_plan(size, n_real, row_gap, row_cnt, n_rows, int(cs))
+        kb_parts, cb_parts = [], []
+        for start, m, wbits, cbits in plan:
+            kb, cb = _pack_span(u, c, jnp.int32(start), m, wbits, cbits,
+                                int(cs))
+            kb_parts.append(kb)
+            cb_parts.append(cb)
+        # One buffer per stream for the pulls: slices of one buffer
+        # pipeline on the relay (~54-107MB/s) where separate small buffers
+        # pay ~30ms each (~16MB/s).  The concat is a cheap HBM copy.
+        kb_all = (jnp.concatenate(kb_parts) if len(kb_parts) > 1
+                  else kb_parts[0])
+        cb_all = (jnp.concatenate(cb_parts) if len(cb_parts) > 1
+                  else cb_parts[0])
+        # Group the spans into <= 8 pull slices so the host decode streams
+        # (feed of group g overlaps the pull of group g+1).
+        n_groups = max(1, min(8, len(plan)))
+        per = -(-len(plan) // n_groups)
         groups = []
         ko = co = 0
-        for g0 in range(0, len(row_specs), per):
-            specs = row_specs[g0 : g0 + per]
-            kn = sum(m * wb // 8 for wb, _ in specs)
-            cn = sum(m * cb // 8 for _, cb in specs)
+        for g0 in range(0, len(plan), per):
+            spans = plan[g0 : g0 + per]
+            kn = sum(m * wb // 8 for _, m, wb, _ in spans)
+            cn = sum(m * cb // 8 for _, m, _, cb in spans)
             ks = kb_all[ko : ko + kn]
             cs_slice = cb_all[co : co + cn]
             ks.copy_to_host_async()
             cs_slice.copy_to_host_async()
-            groups.append((g0, specs, ks, cs_slice))
+            groups.append((spans, ks, cs_slice))
             ko += kn
             co += cn
         meta["groups"] = groups
-        meta["m"] = m
         return meta
 
     @staticmethod
@@ -973,15 +1051,15 @@ class DeviceCountAccumulator:
         from kmcex_tpu import native
 
         base = np.uint64(meta["first_k"])
-        m, n_real = meta["m"], meta["n_real"]
-        for g0, specs, ksj, csj in meta["groups"]:
+        n_real = meta["n_real"]
+        for spans, ksj, csj in meta["groups"]:
             kb = np.asarray(ksj)
             cbytes = np.asarray(csj)
             ko = co = 0
-            for i, (wbits, cbits) in enumerate(specs, start=g0):
+            for start, m, wbits, cbits in spans:
                 kn = m * wbits // 8
                 cn = m * cbits // 8
-                n_here = min(n_real - i * m, m)
+                n_here = min(n_real - start, m)
                 ku = native.unpack_deltas(kb[ko : ko + kn], n_here, wbits,
                                           int(base))
                 kc = native.unpack_counts(cbytes[co : co + cn], n_here, cbits)
@@ -1007,7 +1085,7 @@ class DeviceCountAccumulator:
         overlaps later transfers.  ``n_chunks`` is kept for API
         compatibility (host-run chunking only)."""
         if (not self.runs and not self.host_runs and not self.disk_runs
-                and (self.raw or self.tiles)):
+                and (self.raw or self.tile_runs)):
             if self.tile_mode:
                 self._flush_stage()
             if not _SEGMENTED_FINALIZE:
@@ -1015,14 +1093,13 @@ class DeviceCountAccumulator:
                 # program + packed pulls (no per-segment overlap; see the
                 # _SEGMENTED_FINALIZE note for why segmented is opt-in).
                 if self.tile_mode:
-                    blk = sum(int(t[0].shape[0]) for t in self.tiles)
                     from kmcex_tpu.count import sort_pallas
 
-                    size = _next_pow2(blk) * sort_pallas.BLK
+                    run = self._merged_tile_run()
+                    size = run[0].shape[0] * sort_pallas.BLK
                     n_rows = _row_count(size)
-                    u, c, flat = _fused_finalize_tiles(
-                        tuple(self.tiles), jnp.uint32(ci), n_rows)
-                    self.tiles = []
+                    u, c, flat = _finalize_sorted_run(run, jnp.uint32(ci),
+                                                      n_rows)
                 else:
                     size = sum(int(x.shape[0]) for x in self.raw)
                     n_rows = _row_count(size)
@@ -1040,9 +1117,8 @@ class DeviceCountAccumulator:
             # segment q while the device compacts segment q+1, overlapping
             # what used to be strictly serial phases.
             if self.tile_mode:
-                key, cnt, gstats = _sorted_boundary_tiles(
-                    tuple(self.tiles), jnp.uint32(ci))
-                self.tiles = []
+                key, cnt, gstats = _sorted_boundary_run(
+                    self._merged_tile_run(), jnp.uint32(ci))
             else:
                 key, cnt, gstats = _sorted_boundary(self.raw, jnp.uint32(ci))
             self.raw = []

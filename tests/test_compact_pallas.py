@@ -108,6 +108,48 @@ def test_segmented_finalize_pallas_path(monkeypatch):
         assert hist[i] == int(np.count_nonzero(want_c == 1 + i))
 
 
+def test_tile_run_lsm_incremental_merges(monkeypatch):
+    """The at-arrival tile-run LSM (per-flush ascending sort + pairwise
+    single-stage bitonic merges) must equal brute force across uneven
+    flush sizes, forced raw-tier collapses, and the no-merge-tree
+    finalize — in interpret mode, the exact branch the chip runs."""
+    monkeypatch.setattr(sp, "use_pallas_sort", lambda: True)
+    from kmcex_tpu.count import device_lsm, extract
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(99)
+    k = 13
+    acc = DeviceCountAccumulator(k)
+    flats = []
+    sizes = [(64, 48), (192, 48), (32, 48), (96, 48), (64, 48)]
+    for rows, L in sizes:
+        codes = rng.integers(0, 4, size=(rows, L)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.03] = 255
+        acc.add_batch(codes)
+        f = np.asarray(extract.extract_canonical(jnp.asarray(codes), k)[0])
+        flats.append(f[f != S])
+    assert len(acc.tile_runs) >= 1  # flushes happened
+    n_merges_left = len(acc.tile_runs) - 1
+    total, hist, chunks = acc.finalize_stream(ci=1, cs=1023)
+    got_k = np.concatenate([x[0] for x in chunks])
+    want_k, want_c = np.unique(np.concatenate(flats), return_counts=True)
+    np.testing.assert_array_equal(got_k, want_k)
+    assert total == len(want_k)
+
+    # forced mid-stream collapse exercises _collapse_sorted_run too
+    acc2 = DeviceCountAccumulator(k, raw_tier_elems=4096)
+    flats2 = []
+    for rows, L in sizes * 2:
+        codes = rng.integers(0, 4, size=(rows, L)).astype(np.uint8)
+        acc2.add_batch(codes)
+        f = np.asarray(extract.extract_canonical(jnp.asarray(codes), k)[0])
+        flats2.append(f[f != S])
+    got2_k, got2_c = acc2.finalize(ci=1, cs=1023)
+    want2_k, want2_c = np.unique(np.concatenate(flats2), return_counts=True)
+    np.testing.assert_array_equal(got2_k, want2_k)
+    np.testing.assert_array_equal(got2_c, want2_c.astype(np.uint32))
+
+
 def test_compact_exhaustive_tiny_blocks(monkeypatch):
     """Every hole pattern of a 2-block array at blk=256 lanes... exhaustive
     over 12-slot patterns embedded in the first block: catches any

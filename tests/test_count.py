@@ -220,12 +220,12 @@ def test_native_packed_stream_matches(tmp_path):
 
 
 def test_bitpack_transfer_roundtrip():
-    """Device _pack_row bit-packing == native unpack, across widths and the
+    """Device _pack_span bit-packing == native unpack, across widths and the
     real/pad boundary (sentinel deltas must not corrupt neighbouring lanes)."""
     import jax.numpy as jnp
 
     from kmcex_tpu import native
-    from kmcex_tpu.count.device_lsm import SENTINEL, _final_stats, _pack_row
+    from kmcex_tpu.count.device_lsm import SENTINEL, _final_stats, _pack_span
 
     rng = np.random.default_rng(9)
     for n_real, size, n_chunks, cs in [(1000, 1024, 4, 1023),
@@ -256,7 +256,7 @@ def test_bitpack_transfer_roundtrip():
                 break
             wbits = min(64, (max(1, int(row_gap[i]).bit_length()) + 1) & ~1)
             cbits = min(32, (max(1, int(row_cnt[i]).bit_length()) + 1) & ~1)
-            kb, cb = _pack_row(u, c, i, m, wbits, cbits, cs)
+            kb, cb = _pack_span(u, c, jnp.int32(i * m), m, wbits, cbits, cs)
             n_here = min(n_real - i * m, m)
             dk = native.unpack_deltas(np.asarray(kb), n_here, wbits, int(base))
             dc = native.unpack_counts(np.asarray(cb), n_here, cbits)
