@@ -172,6 +172,30 @@ def main() -> None:
             t_main = (time.time() - t0) / reps
             log(f"device kmer_to_occ compute-only (phase 1, device-resident "
                 f"input): {dm.TILE / t_main / 1e6:.2f} Mqueries/s")
+
+            # gather roofline: the query path costs ~65 random gathers per
+            # query; this measures PURE random gathers over a model-sized
+            # u16 table, so (compute-only / roofline) says how close the
+            # full decision tree runs to hardware speed-of-light.
+            import jax.numpy as _jnp
+
+            tab_elems = max(1, km.total_model_bytes() // 2)
+            tab = _jax.device_put(_jnp.zeros(tab_elems, _jnp.uint16))
+            gi = _jax.device_put(_jnp.asarray(
+                rng.integers(0, tab_elems, size=(dm.TILE, 65)),
+                dtype=_jnp.int32))
+            gf = _jax.jit(lambda i: _jnp.sum(tab[i].astype(_jnp.uint32)))
+            _jax.block_until_ready(gf(gi))
+            t0 = time.time()
+            for _ in range(reps):
+                o = gf(gi)
+            _jax.block_until_ready(o)
+            t_g = (time.time() - t0) / reps
+            log(f"pure-gather roofline (65 gathers/query, "
+                f"{2 * tab_elems >> 20}MB table): "
+                f"{dm.TILE / t_g / 1e6:.2f} Mqueries/s "
+                f"({t_g / dm.TILE / 65 * 1e9:.1f} ns/gather); "
+                f"query path at {100 * t_g / t_main:.0f}% of roofline")
         except Exception as e:
             log(f"query benchmark skipped: {e}")
 

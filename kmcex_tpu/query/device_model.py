@@ -100,6 +100,15 @@ class DeviceKModel:
         self.bit_km_back = int(km.bit_km_back)
         self.seeds = put(_seed_matrix(self.n_bits, self.n_hash).astype(np.uint64))
         self._seed_flat = _seed_matrix(self.n_bits, self.n_hash).astype(np.uint64).reshape(-1)
+        # shared hash-state seed vectors: ONE murmur precompute + eval per
+        # distinct string serves every probe family (the precompute's block
+        # mixes are ~40% of the query's device compute; round-3 ran them
+        # up to 4x per query).  h_k = k-mer hashes for (BF main ++ bit
+        # arrays); h_m = middle-(k-2)-mer hashes for (km_back ++ BF back).
+        self._seeds_k = np.concatenate(
+            [HASH_SEEDS[: self.bf_num_hash], self._seed_flat]).astype(np.uint64)
+        self._n_seeds_m = max(self.bf_back_num_hash, self.km_back_num_hash)
+        self._seeds_m = HASH_SEEDS[: self._n_seeds_m].astype(np.uint64)
 
         # rest store (sorted full k-mers + CSR bounds)
         kld = km.kld
@@ -145,37 +154,74 @@ class DeviceKModel:
     def _middle(self, kmers):
         return codec.middle_kmer_jnp(kmers, self.k)
 
-    def _check_back(self, kmers):
+    def _hash_state(self, kmers):
+        """Shared murmur state for one batch of canonical k-mers:
+        (h_k [..., bf_num_hash + nb*nh], h_m [..., n_seeds_m]).  One ASCII
+        regen + precompute + eval per distinct string; every probe family
+        below takes positions as (h % its table length)."""
+        ascii_k = codec.ascii_bytes_jnp(kmers, self.k)
+        bl, tl = murmur_pre_jnp(ascii_k)
+        h_k = murmur_eval_jnp(bl, tl, self.k, self._seeds_k)
+        ascii_m = codec.ascii_bytes_jnp(self._middle(kmers), self.k - 2)
+        blm, tlm = murmur_pre_jnp(ascii_m)
+        h_m = murmur_eval_jnp(blm, tlm, self.k - 2, self._seeds_m)
+        return h_k, h_m
+
+    def _check_back(self, kmers, h_m=None):
         """check_back_bloomfilter over km_back (kmodel.hpp:107)."""
         if self.km_back is None:
             return jnp.zeros(kmers.shape, dtype=bool)
-        return self._check_bloom(
-            self._middle(kmers), self.k - 2, self.km_back, self.bit_km_back,
-            self.km_back_num_hash, HASH_SEEDS[: self.km_back_num_hash],
-        )
+        if h_m is None:
+            return self._check_bloom(
+                self._middle(kmers), self.k - 2, self.km_back,
+                self.bit_km_back, self.km_back_num_hash,
+                HASH_SEEDS[: self.km_back_num_hash],
+            )
+        pos = h_m[..., : self.km_back_num_hash] % _U64(self.bit_km_back)
+        return jnp.all(_gather_bits(self.km_back, pos) == 1, axis=-1)
 
-    def _check_all_bf(self, kmers):
+    def _check_all_bf(self, kmers, h_k=None, h_m=None):
         """check_all_bf (kmodel.hpp:361-371): first hit in probe order."""
         occ = jnp.zeros(kmers.shape, dtype=jnp.int32)
-        mids = self._middle(kmers)
+        mids = self._middle(kmers) if h_m is None else None
         for i in self.probe_order:
-            main = self._check_bloom(
-                kmers, self.k, self.bf_bits[i], self.bf_len[i],
-                self.bf_num_hash, HASH_SEEDS[: self.bf_num_hash],
-            )
-            back = self._check_bloom(
-                mids, self.k - 2, self.bf_back_bits[i], self.bf_back_len[i],
-                self.bf_back_num_hash, HASH_SEEDS[: self.bf_back_num_hash],
-            )
+            if self.bf_bits[i] is None or self.bf_len[i] == 0:
+                main = jnp.zeros(kmers.shape, dtype=bool)
+            elif h_k is not None:
+                pos = (h_k[..., : self.bf_num_hash]
+                       % _U64(self.bf_len[i]))
+                main = jnp.all(
+                    _gather_bits(self.bf_bits[i], pos) == 1, axis=-1)
+            else:
+                main = self._check_bloom(
+                    kmers, self.k, self.bf_bits[i], self.bf_len[i],
+                    self.bf_num_hash, HASH_SEEDS[: self.bf_num_hash],
+                )
+            if self.bf_back_bits[i] is None or self.bf_back_len[i] == 0:
+                back = jnp.zeros(kmers.shape, dtype=bool)
+            elif h_m is not None:
+                pos = (h_m[..., : self.bf_back_num_hash]
+                       % _U64(self.bf_back_len[i]))
+                back = jnp.all(
+                    _gather_bits(self.bf_back_bits[i], pos) == 1, axis=-1)
+            else:
+                back = self._check_bloom(
+                    mids, self.k - 2, self.bf_back_bits[i],
+                    self.bf_back_len[i], self.bf_back_num_hash,
+                    HASH_SEEDS[: self.bf_back_num_hash],
+                )
             hit = main & back & (occ == 0)
             occ = jnp.where(hit, i + self.ci, occ)
         return occ
 
-    def _find_bitarray(self, kmers):
+    def _find_bitarray(self, kmers, h_k=None):
         """[..., n_bits] decoded bins, -1 where tags miss (kmodel.hpp:625-646)."""
-        ascii_b = codec.ascii_bytes_jnp(kmers, self.k)  # [..., k]
-        bl, tl = murmur_pre_jnp(ascii_b)
-        h = murmur_eval_jnp(bl, tl, self.k, self._seed_flat)  # [..., nb*nh]
+        if h_k is not None:
+            h = h_k[..., self.bf_num_hash :]
+        else:
+            ascii_b = codec.ascii_bytes_jnp(kmers, self.k)  # [..., k]
+            bl, tl = murmur_pre_jnp(ascii_b)
+            h = murmur_eval_jnp(bl, tl, self.k, self._seed_flat)  # [..., nb*nh]
         pos = (h % _U64(self.km_bit_size)).reshape(
             kmers.shape + (self.n_bits, self.n_hash)
         )
@@ -241,11 +287,12 @@ class DeviceKModel:
         rest_hit = rest_c > 0
         rest_val = self.occ2bin[jnp.clip(rest_c, 0, self.occ2bin.shape[0] - 1)]
 
-        bf = self._check_all_bf(neigh)
+        h_k, h_m = self._hash_state(neigh)
+        bf = self._check_all_bf(neigh, h_k, h_m)
         bf_hit = bf != 0
 
-        back = self._check_back(neigh)
-        B = self._find_bitarray(neigh)  # [..., 8, nb]
+        back = self._check_back(neigh, h_m)
+        B = self._find_bitarray(neigh, h_k)  # [..., 8, nb]
         ok = B != -1
         any_ok = jnp.any(ok, axis=-1)
         nz = ok & (B != 0)
@@ -274,10 +321,11 @@ class DeviceKModel:
         def main(kmers: jnp.ndarray):
             kmers = codec.canonical_jnp(kmers.astype(_U64), self.k)
             rest_occ = self._check_rest(kmers)
-            is_back = self._check_back(kmers)
-            bf_occ = self._check_all_bf(kmers)
+            h_k, h_m = self._hash_state(kmers)
+            is_back = self._check_back(kmers, h_m)
+            bf_occ = self._check_all_bf(kmers, h_k, h_m)
 
-            B = self._find_bitarray(kmers)  # [N, nb]
+            B = self._find_bitarray(kmers, h_k)  # [N, nb]
             pos_mask = B > 0
             nbin = jnp.sum(pos_mask, axis=-1)
             first_idx = jnp.argmax(pos_mask, axis=-1)
@@ -322,8 +370,9 @@ class DeviceKModel:
 
         def resolve(kmers):
             kmers = codec.canonical_jnp(kmers.astype(_U64), self.k)
-            B = self._find_bitarray(kmers)
-            bf_occ = self._check_all_bf(kmers)
+            h_k, h_m = self._hash_state(kmers)
+            B = self._find_bitarray(kmers, h_k)
+            bf_occ = self._check_all_bf(kmers, h_k, h_m)
             pos_mask = B > 0
             nbin = jnp.sum(pos_mask, axis=-1)
             first_idx = jnp.argmax(pos_mask, axis=-1)
