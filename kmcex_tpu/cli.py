@@ -33,6 +33,9 @@ USAGE = """\
         -cs<value>         - maximal value of a counter (default: 1023)
         -nh<value>         - number of hash (default: 7)
         -nb<value>         - number of bit array (default: 5)
+        -acc<kind>         - counting backend: device | sharded
+                             (extension; sharded = hash-routed device mesh,
+                             the multi-chip / multi-host path)
 3. EXAMPLES
      kmcex -k31 -nh7 -nb5  rs.fastq rs.res /tmp
      kmcex -k31 -nh7 -nb5  @rs.lst rs.res /tmp
@@ -50,7 +53,9 @@ def parse_parameters(argv: list[str]) -> KParams | None:
         a = argv[i]
         if not a.startswith("-"):
             break
-        if a.startswith("-t"):
+        if a.startswith("-acc"):
+            params.accumulator = a[4:]
+        elif a.startswith("-t"):
             params.t = int(a[2:])
         elif a.startswith("-k"):
             params.k = int(a[2:])

@@ -22,6 +22,10 @@ class KParams:
     input_file_name: str = ""
     output_file_name: str = ""
     working_directory: str = "/tmp"
+    # counting backend (this rebuild's extension, no reference analogue):
+    # "device" = single chip, "sharded" = hash-routed mesh over all devices
+    # (the multi-chip / multi-host path; CLI flag -acc)
+    accumulator: str = "device"
 
     def __post_init__(self) -> None:
         if not (2 <= self.k <= 32):
@@ -34,6 +38,10 @@ class KParams:
             raise ValueError(f"ci must be >= 1, got {self.ci}")
         if self.cs < self.ci:
             raise ValueError(f"cs must be >= ci, got cs={self.cs} ci={self.ci}")
+        if self.accumulator not in ("device", "sharded"):
+            raise ValueError(
+                f"accumulator must be device|sharded, got "
+                f"{self.accumulator!r}")
 
     @property
     def max_counter(self) -> int:

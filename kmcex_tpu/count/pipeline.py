@@ -116,12 +116,21 @@ def count_encode(
     seg_len: int | None = None,
     batch_segs: int = fastq.DEFAULT_BATCH_SEGS,
     keep_pairs: bool = True,
+    db_path: str | None = None,
+    accumulator: str = "device",
+    mesh=None,
 ) -> tuple[KModel, np.ndarray | None, np.ndarray | None, PipelineStats]:
     """Count + encode with the device->host table pull overlapping the host
     encode (streaming chunks; bit-identical to the two-phase build).
 
     Returns (model, kmers, counts, stats); kmers/counts are None unless
-    ``keep_pairs`` (they cost host memory, not time)."""
+    ``keep_pairs`` (they cost host memory, not time — pass False plus
+    ``db_path`` for the genome-scale regime: the KMC1 database then spools
+    chunk-by-chunk through io.kmc_db.KMC1StreamWriter with bounded
+    memory).  ``accumulator="sharded"`` runs the hash-routed multi-chip
+    accumulator over ``mesh`` (all devices by default) — combined with a
+    spawned multi-process runtime (parallel.distributed) this is the
+    multi-host path; in that case only process 0 should pass db_path."""
     from kmcex_tpu.utils.timing import Phases, device_trace
 
     ph = Phases()
@@ -132,23 +141,61 @@ def count_encode(
                 sniffed = fastq.sniff_read_length(input_spec)
                 seg_len = min(512, max(k + 33, sniffed))
             seg_len = (seg_len + 7) & ~7
-        stream = fastq.SegmentStream(input_spec, k, seg_len, batch_segs, packed=True)
         import jax
 
-        from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
         from kmcex_tpu.utils import prefetch_iterator
-
-        acc = DeviceCountAccumulator(k)
 
         # two producer stages: thread A parses + 2-bit packs (one native
         # pass), thread B copies to device; the main thread only dispatches —
         # parse, h2d and device compute all overlap
-        with ph.phase("stream+extract"):
-            parsed = prefetch_iterator(iter(stream), depth=2)
-            for packed, maskbits in prefetch_iterator(
-                parsed, depth=2, transform=jax.device_put
-            ):
-                acc.add_batch_packed(packed, maskbits)
+        n_reads = n_bases = None
+        if accumulator == "sharded" and jax.process_count() > 1:
+            # multi-host: each process parses only its byte-range/file
+            # slice, stepping the all_to_all in lockstep with the others
+            from kmcex_tpu.parallel import distributed
+            from kmcex_tpu.parallel.sharded import ShardedCountAccumulator
+
+            if mesh is None:
+                mesh = distributed.global_mesh()
+            n = int(mesh.devices.size)
+            rows = max(1, batch_segs // n)
+            stream = None
+            acc = ShardedCountAccumulator(mesh, k, rows, seg_len)
+            with ph.phase("stream+extract"):
+                n_reads, n_bases = distributed.stream_into_accumulator(
+                    acc, input_spec, k, seg_len)
+        else:
+            if accumulator == "sharded":
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                from kmcex_tpu.parallel.sharded import (
+                    ShardedCountAccumulator,
+                    make_mesh,
+                )
+
+                if mesh is None:
+                    mesh = make_mesh()
+                n = int(mesh.devices.size)
+                batch_segs = max(n, (batch_segs // n) * n)
+                stream = fastq.SegmentStream(input_spec, k, seg_len,
+                                             batch_segs, packed=True)
+                acc = ShardedCountAccumulator(mesh, k, batch_segs // n,
+                                              seg_len, packed=True)
+                sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+                put = lambda t: jax.device_put(t, sh)
+            else:
+                from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+                stream = fastq.SegmentStream(input_spec, k, seg_len,
+                                             batch_segs, packed=True)
+                acc = DeviceCountAccumulator(k)
+                put = jax.device_put
+            with ph.phase("stream+extract"):
+                parsed = prefetch_iterator(iter(stream), depth=2)
+                for packed, maskbits in prefetch_iterator(
+                    parsed, depth=2, transform=put
+                ):
+                    acc.add_batch_packed(packed, maskbits)
         with ph.phase("merge+stats"):
             total, low_hist, chunks = acc.finalize_stream(ci, cs)
         # a producer thread owns the device->host pulls, the delta decode AND
@@ -158,19 +205,29 @@ def count_encode(
 
         bf_num = 1 if ci == 1 else 3
         collected: list[tuple[np.ndarray, np.ndarray]] = []
+        writer = None
+        if db_path:
+            writer = kmc_db.KMC1StreamWriter(db_path, k, min_count=ci,
+                                             max_count=cs)
 
         def produce(item):
             ku, kc = item
             if keep_pairs:
                 collected.append((ku, kc))
+            if writer is not None:
+                writer.write_chunk(ku, kc.astype(np.uint64))
             return split_chunk(ku, kc, ci, bf_num)
 
         chunks = prefetch_iterator(chunks, depth=4, transform=produce)
         t_count = time.time() - t0
 
         km = get_model(ci, cs, num_hash, num_bit)
-        with ph.phase("transfer+encode"):
-            km.init_from_chunks(chunks, k, total, low_hist)
+        try:
+            with ph.phase("transfer+encode"):
+                km.init_from_chunks(chunks, k, total, low_hist)
+        finally:
+            if writer is not None:
+                writer.close()
         for name, secs in getattr(km, "encode_phases", {}).items():
             ph.add(f"encode.{name}", secs)
         t_total = time.time() - t0
@@ -179,8 +236,8 @@ def count_encode(
         kmers = np.concatenate([x[0] for x in collected]) if collected else np.zeros(0, np.uint64)
         counts = np.concatenate([x[1] for x in collected]) if collected else np.zeros(0, np.uint32)
     stats = PipelineStats(
-        reads=stream.reads,
-        bases=stream.bases,
+        reads=n_reads if n_reads is not None else stream.reads,
+        bases=n_bases if n_bases is not None else stream.bases,
         windows=acc.total_windows,
         distinct_kmers=total,
         count_seconds=t_count,
@@ -192,25 +249,35 @@ def count_encode(
 
 def run(params: KParams, save_dir: str | None = None,
         write_db: bool = True) -> tuple[KModel, PipelineStats]:
-    """Full kmcEx-equivalent run: count, (optionally) write the KMC1 DB to
+    """Full kmcEx-equivalent run: count, (optionally) stream the KMC1 DB to
     ``output_file_name``, build + save the model under
-    ``working_directory/<basename>`` (main.cpp:143-149)."""
+    ``working_directory/<basename>`` (main.cpp:143-149).
+
+    The KMC1 database spools chunk-by-chunk during the encode (bounded
+    memory at genome scale; the table is never materialized in host RAM).
+    ``params.accumulator`` picks the counting backend: "device" (default,
+    single chip) or "sharded" (hash-routed mesh over all devices — the
+    multi-chip / multi-host path; on a multi-process runtime every process
+    must call this, and only process 0 writes the DB + model)."""
     if params.t:
         from kmcex_tpu import native
 
         native.set_num_threads(params.t)
+    import jax
+
+    is_primary = jax.process_index() == 0
+    acc_kind = getattr(params, "accumulator", "device") or "device"
+    db_path = (params.output_file_name
+               if write_db and params.output_file_name and is_primary
+               else None)
     km, kmers, counts, stats = count_encode(
         params.input_file_name, params.k, params.ci, params.cs,
         params.num_hash, params.num_bit,
+        keep_pairs=False, db_path=db_path, accumulator=acc_kind,
     )
-    if write_db and params.output_file_name:
-        kmc_db.write_kmc1(
-            params.output_file_name, kmers, counts.astype(np.uint64), params.k,
-            min_count=params.ci, max_count=params.cs,
-        )
     if save_dir is None and params.output_file_name:
         base = pathlib.Path(params.output_file_name).name
         save_dir = str(pathlib.Path(params.working_directory) / base)
-    if save_dir:
+    if save_dir and is_primary:
         km.save(save_dir)
     return km, stats

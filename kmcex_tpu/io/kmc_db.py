@@ -449,11 +449,26 @@ def write_kmc1(
         prefixes = codec_mw.extract_bits_mw(kmers, 2 * suf_bases, 2 * p).astype(np.int64)
     else:
         prefixes = (kmers >> _U64(2 * suf_bases)).astype(np.int64)
-    # lut[i] = first record index with prefix i
-    lut_full = np.zeros(n_lut, dtype=np.uint64)
-    cnts = np.bincount(prefixes, minlength=n_lut).astype(np.uint64)
-    lut_full[1:] = np.cumsum(cnts)[:-1]
+    cnts = np.bincount(prefixes, minlength=n_lut)
+    _write_pre_file(path, cnts, k, mode, cbytes, p, min_count, max_count,
+                    total, both_strands)
 
+    rec = _build_records(kmers, counts, multiword, sufix_size, suf_bases, cbytes)
+    with open(path + ".kmc_suf", "wb") as f:
+        f.write(_MARKER_SUF)
+        rec.tofile(f)
+        f.write(_MARKER_SUF)
+
+
+def _write_pre_file(path: str, lut_counts: np.ndarray, k: int, mode: int,
+                    cbytes: int, p: int, min_count: int, max_count: int,
+                    total: int, both_strands: bool) -> None:
+    """Write the .kmc_pre file from accumulated per-prefix record counts
+    (layout per kmc_file.cpp:236-289; shared by the one-shot and streaming
+    writers)."""
+    n_lut = 1 << (2 * p)
+    lut_full = np.zeros(n_lut, dtype=np.uint64)
+    lut_full[1:] = np.cumsum(lut_counts.astype(np.uint64))[:-1]
     header = np.zeros(5, dtype=np.uint64)
     header[0] = _U64(k) | (_U64(mode) << _U64(32))
     header[1] = _U64(cbytes) | (_U64(p) << _U64(32))
@@ -462,7 +477,6 @@ def write_kmc1(
     # both_strands flag low nibble: 0 => canonical, 1 => single strand
     # (kmc_file.cpp:262-274)
     header[4] = _U64(0 if both_strands else 1)
-
     with open(path + ".kmc_pre", "wb") as f:
         f.write(_MARKER)
         lut_full.astype("<u8").tofile(f)
@@ -474,11 +488,90 @@ def write_kmc1(
         np.array([48], dtype="<u4").tofile(f)  # header_offset: 44B header + 4
         f.write(_MARKER)
 
-    rec = _build_records(kmers, counts, multiword, sufix_size, suf_bases, cbytes)
-    with open(path + ".kmc_suf", "wb") as f:
-        f.write(_MARKER_SUF)
-        rec.tofile(f)
-        f.write(_MARKER_SUF)
+
+class KMC1StreamWriter:
+    """Streaming KMC1 writer: accepts ascending (kmers, counts) chunks and
+    spools suffix records to .kmc_suf as they arrive while accumulating
+    the 4^p prefix LUT in RAM (<= 4^7 u64s); .kmc_pre is written on close.
+    ONE pass, bounded memory — the genome-scale replacement for
+    write_kmc1's whole-table materialization (the reference handles this
+    regime inside the external kmc binary's external-memory bins,
+    main.cpp:137-140; this is that capability rebuilt for the streaming
+    finalize).  Counter width derives from ``max_count`` (counters are
+    cs-clamped upstream), or pass ``counter_size`` explicitly.
+
+    Usage:
+        w = KMC1StreamWriter(path, k, min_count=ci, max_count=cs)
+        for ku, kc in chunks: w.write_chunk(ku, kc)
+        w.close()
+    """
+
+    def __init__(self, path: str, k: int, min_count: int = 1,
+                 max_count: int = 0xFFFFFFFF, counter_size: int | None = None,
+                 lut_prefix_length: int | None = None, mode: int = 0,
+                 both_strands: bool = True):
+        self.path = path
+        self.k = k
+        self.mode = mode
+        self.min_count = min_count
+        self.max_count = max_count
+        self.both_strands = both_strands
+        self.p = lut_prefix_length or lut_prefix_len_for(k)
+        if mode == 1:
+            self.cbytes = 4
+        else:
+            bound = max_count if max_count != 0xFFFFFFFF else 0xFFFFFFFF
+            self.cbytes = counter_size or counter_size_for(bound)
+        self.suf_bases = k - self.p
+        self.sufix_size = self.suf_bases // 4
+        self.lut_counts = np.zeros(1 << (2 * self.p), dtype=np.int64)
+        self.total = 0
+        self._last_key = None
+        self._suf = open(path + ".kmc_suf", "wb")
+        self._suf.write(_MARKER_SUF)
+        self._closed = False
+
+    def write_chunk(self, kmers_u64: np.ndarray, counts: np.ndarray) -> None:
+        kmers = np.ascontiguousarray(kmers_u64, dtype=_U64)
+        if not len(kmers):
+            return
+        multiword = kmers.ndim == 2
+        keys = codec_mw.sort_key_mw(kmers) if multiword else kmers
+        if ((self._last_key is not None and keys[0] <= self._last_key)
+                or (len(keys) > 1 and not (keys[1:] > keys[:-1]).all())):
+            raise ValueError("chunks must be globally strictly ascending")
+        self._last_key = keys[-1]
+        counts = np.asarray(counts)
+        if self.mode == 1:
+            counts = counts.astype(np.float32).view(np.uint32).astype(np.uint64)
+        counts = np.ascontiguousarray(counts, dtype=np.uint64)
+        if multiword:
+            prefixes = codec_mw.extract_bits_mw(
+                kmers, 2 * self.suf_bases, 2 * self.p).astype(np.int64)
+        else:
+            prefixes = (kmers >> _U64(2 * self.suf_bases)).astype(np.int64)
+        self.lut_counts += np.bincount(prefixes,
+                                       minlength=len(self.lut_counts))
+        self.total += len(kmers)
+        rec = _build_records(kmers, counts, multiword, self.sufix_size,
+                             self.suf_bases, self.cbytes)
+        rec.tofile(self._suf)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._suf.write(_MARKER_SUF)
+        self._suf.close()
+        _write_pre_file(self.path, self.lut_counts, self.k, self.mode,
+                        self.cbytes, self.p, self.min_count, self.max_count,
+                        self.total, self.both_strands)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _build_records(kmers, counts, multiword: bool, sufix_size: int,

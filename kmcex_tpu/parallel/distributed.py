@@ -111,6 +111,69 @@ def process_local_batch(mesh: Mesh, codes: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, codes)
 
 
+def stream_into_accumulator(acc, input_spec: str, k: int,
+                            seg_len: int) -> tuple[int, int]:
+    """Drain this process's input slice into a ShardedCountAccumulator in
+    LOCKSTEP with every other process (the all_to_all inside each count
+    step requires all processes to step together; hosts that run dry feed
+    fully-masked empty buffers).  After this returns on every process,
+    ``acc.finalize_stream`` yields the identical global table everywhere —
+    the multi-host half of the genome-scale driver (BASELINE config 5).
+    Returns GLOBAL (reads, bases) parsed across all processes."""
+    from kmcex_tpu.io import fastq
+
+    mesh = acc.mesh
+    items = host_input_slices(input_spec)
+    local_dev = jax.local_device_count()
+    local_rows = acc.seg_rows * local_dev
+    streams: list = []
+
+    def local_full_buffers():
+        buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+        fill = 0
+        for path, brange in items:
+            stream = fastq.SegmentStream(path, k, seg_len, local_rows,
+                                         use_native=True, packed=False,
+                                         byte_range=brange)
+            streams.append(stream)
+            for batch in stream:
+                take = min(local_rows - fill, len(batch))
+                buf[fill:fill + take] = batch[:take]
+                fill += take
+                if fill == local_rows:
+                    yield buf
+                    buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+                    fill = 0
+                if take < len(batch):
+                    rem = batch[take:]
+                    buf[: len(rem)] = rem
+                    fill = len(rem)
+        if fill:
+            yield buf
+
+    it = local_full_buffers()
+    if jax.process_count() == 1:
+        for buf in it:
+            acc.add_batch(process_local_batch(mesh, buf))
+        return (sum(s.reads for s in streams),
+                sum(s.bases for s in streams))
+    from jax.experimental import multihost_utils
+
+    empty = np.full((local_rows, seg_len), 255, dtype=np.uint8)
+    while True:
+        nxt = next(it, None)
+        flags = multihost_utils.process_allgather(
+            np.array([0 if nxt is None else 1], dtype=np.int32))
+        if not int(np.asarray(flags).sum()):
+            break
+        acc.add_batch(process_local_batch(mesh, empty if nxt is None else nxt))
+    totals = multihost_utils.process_allgather(np.array(
+        [sum(s.reads for s in streams), sum(s.bases for s in streams)],
+        dtype=np.int64))
+    totals = np.asarray(totals).reshape(jax.process_count(), 2).sum(axis=0)
+    return int(totals[0]), int(totals[1])
+
+
 def distributed_count_fastq(input_spec: str, k: int, ci: int = 1,
                             cs: int = 1023, seg_len: int = 256,
                             batch_segs: int = 4096):
@@ -131,54 +194,11 @@ def distributed_count_fastq(input_spec: str, k: int, ci: int = 1,
     per-shard tables are gathered; fine for model-building, which every
     host replicates).  For tables too large to gather, consume
     ``ShardedCountAccumulator.finalize_stream`` per shard instead."""
-    from kmcex_tpu.io import fastq
     from kmcex_tpu.parallel.sharded import ShardedCountAccumulator
 
     mesh = global_mesh()
-    items = host_input_slices(input_spec)
     # Global batch = batch_segs rows per device; each process contributes
     # rows for ITS devices only.
-    local_dev = jax.local_device_count()
-    local_rows = batch_segs * local_dev
     acc = ShardedCountAccumulator(mesh, k, batch_segs, seg_len)
-
-    def local_full_buffers():
-        """Yield [local_rows, seg_len] buffers; the final one may be partial
-        (padding rows are all-255, fully masked by the extract kernel)."""
-        buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
-        fill = 0
-        for path, brange in items:
-            stream = fastq.SegmentStream(path, k, seg_len, local_rows,
-                                         use_native=True, packed=False,
-                                         byte_range=brange)
-            for batch in stream:
-                take = min(local_rows - fill, len(batch))
-                buf[fill:fill + take] = batch[:take]
-                fill += take
-                if fill == local_rows:
-                    yield buf
-                    buf = np.full((local_rows, seg_len), 255, dtype=np.uint8)
-                    fill = 0
-                if take < len(batch):
-                    rem = batch[take:]
-                    buf[: len(rem)] = rem
-                    fill = len(rem)
-        if fill:
-            yield buf
-
-    it = local_full_buffers()
-    if jax.process_count() == 1:
-        for buf in it:
-            acc.add_batch(process_local_batch(mesh, buf))
-        return acc.finalize(ci, cs)
-    from jax.experimental import multihost_utils
-
-    empty = np.full((local_rows, seg_len), 255, dtype=np.uint8)
-    while True:
-        nxt = next(it, None)
-        flags = multihost_utils.process_allgather(
-            np.array([0 if nxt is None else 1], dtype=np.int32))
-        if not int(np.asarray(flags).sum()):
-            break
-        acc.add_batch(process_local_batch(mesh, empty if nxt is None else nxt))
+    stream_into_accumulator(acc, input_spec, k, seg_len)
     return acc.finalize(ci, cs)

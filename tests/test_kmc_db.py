@@ -160,3 +160,43 @@ def test_counter_size_rule():
     assert kmc_db.counter_size_for(1023) == 2
     assert kmc_db.counter_size_for(65536) == 3
     assert kmc_db.counter_size_for(1 << 24) == 4
+
+
+def test_stream_writer_matches_one_shot(tmp_path):
+    """KMC1StreamWriter (chunk-by-chunk, bounded memory) must produce
+    byte-identical .kmc_pre/.kmc_suf to the one-shot write_kmc1 for the
+    same table — the genome-scale DB writer (VERDICT r3 item 4)."""
+    for k in (31, 21):
+        can, counts = _pairs(k * 7, 6000, k)
+        counts = np.minimum(counts, 1023)
+        one = str(tmp_path / f"one{k}")
+        kmc_db.write_kmc1(one, can, counts, k, min_count=1, max_count=1023,
+                          counter_size=kmc_db.counter_size_for(1023))
+        st = str(tmp_path / f"st{k}")
+        w = kmc_db.KMC1StreamWriter(st, k, min_count=1, max_count=1023)
+        rng = np.random.default_rng(k)
+        a = 0
+        while a < len(can):
+            m = int(rng.integers(1, 700))
+            w.write_chunk(can[a : a + m], counts[a : a + m])
+            a += m
+        w.close()
+        for ext in (".kmc_pre", ".kmc_suf"):
+            ob = open(one + ext, "rb").read()
+            sb = open(st + ext, "rb").read()
+            assert ob == sb, (k, ext, len(ob), len(sb))
+        r = kmc_db.KMCReader(st)
+        kk, cc = r.list_all()
+        np.testing.assert_array_equal(kk, can)
+        np.testing.assert_array_equal(cc, counts.astype(np.uint32))
+
+
+def test_stream_writer_rejects_unsorted(tmp_path):
+    w = kmc_db.KMC1StreamWriter(str(tmp_path / "x"), 21, max_count=1023)
+    w.write_chunk(np.array([5, 9], np.uint64), np.array([1, 1], np.uint32))
+    with pytest.raises(ValueError):
+        w.write_chunk(np.array([9], np.uint64), np.array([1], np.uint32))
+    with pytest.raises(ValueError):
+        w.write_chunk(np.array([20, 12], np.uint64),
+                      np.array([1, 1], np.uint32))
+    w.close()

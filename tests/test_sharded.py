@@ -334,3 +334,66 @@ def test_sharded_query_matches_host():
     # ragged tail exercises pad-to-mesh-quantum
     got_small = srv.kmer_to_occ(q[:13])
     np.testing.assert_array_equal(got_small, want[:13])
+
+
+def test_genome_scale_e2e_sharded_disk_to_model(tmp_path):
+    """BASELINE config 5's shape, forced tiny: sharded count on the mesh ->
+    per-shard DISK-spilled runs -> one-pass streaming finalize ->
+    streaming encode (init_from_chunks) + streaming KMC1 writer -> model
+    and DB bytes identical to the in-RAM single-chip build (VERDICT r3
+    item 4)."""
+    from kmcex_tpu.count.pipeline import count_encode
+    from kmcex_tpu.io import kmc_db
+    from kmcex_tpu.model.kmodel import get_model
+
+    rng = np.random.default_rng(8)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    genome = rng.integers(0, 4, size=30000)
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "wb") as f:
+        for i, s in enumerate(rng.integers(0, len(genome) - 80, size=4000)):
+            seq = bases[genome[s : s + 80]].tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * 80))
+    k = 21
+
+    # force every tier: tiny raw tier, tiny spill threshold, tiny disk budget
+    import kmcex_tpu.parallel.sharded as sh_mod
+
+    old = (sh_mod.ShardedCountAccumulator.RAW_TIER_ELEMS,
+           sh_mod.ShardedCountAccumulator.SPILL_THRESHOLD,
+           sh_mod.ShardedCountAccumulator.DISK_SPILL_BYTES)
+    sh_mod.ShardedCountAccumulator.RAW_TIER_ELEMS = 4096
+    sh_mod.ShardedCountAccumulator.SPILL_THRESHOLD = 8192
+    sh_mod.ShardedCountAccumulator.DISK_SPILL_BYTES = 4096
+    import os as _os
+
+    _os.environ["KMCEX_DISK_SPILL_BYTES"] = "4096"
+    try:
+        km_s, _, _, st = count_encode(
+            str(fq), k=k, ci=1, cs=1023, batch_segs=512, keep_pairs=False,
+            db_path=str(tmp_path / "db_stream"),
+            accumulator="sharded", mesh=sharded.make_mesh(8))
+    finally:
+        (sh_mod.ShardedCountAccumulator.RAW_TIER_ELEMS,
+         sh_mod.ShardedCountAccumulator.SPILL_THRESHOLD,
+         sh_mod.ShardedCountAccumulator.DISK_SPILL_BYTES) = old
+        del _os.environ["KMCEX_DISK_SPILL_BYTES"]
+
+    # in-RAM single-chip reference build
+    km_d, kd, cd, _ = count_encode(str(fq), k=k, ci=1, cs=1023,
+                                   batch_segs=512, keep_pairs=True)
+    km_s.save(str(tmp_path / "m_sharded"))
+    km_d.save(str(tmp_path / "m_device"))
+    for name in ("header", "km.bin", "rest.bin"):
+        a = (tmp_path / "m_sharded" / name).read_bytes()
+        b = (tmp_path / "m_device" / name).read_bytes()
+        assert a == b, f"{name} differs"
+    # streaming DB == one-shot DB over the same pairs
+    kmc_db.write_kmc1(str(tmp_path / "db_ram"), kd, cd.astype(np.uint64), k,
+                      min_count=1, max_count=1023,
+                      counter_size=kmc_db.counter_size_for(1023))
+    for ext in (".kmc_pre", ".kmc_suf"):
+        sa = (tmp_path / ("db_stream" + ext)).read_bytes()
+        sb = (tmp_path / ("db_ram" + ext)).read_bytes()
+        assert sa == sb, ext
+    assert st.distinct_kmers == len(kd)
