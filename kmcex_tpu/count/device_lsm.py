@@ -452,14 +452,14 @@ def _next_pow2(n: int) -> int:
 # Resolved once at import (trace-time flags inside jitted callers would be
 # frozen by the jit cache anyway).  KMCEX_SEGMENTED_FINALIZE=1 opts into the
 # per-segment finalize whose compact/pack/pull overlaps the host encode.
-# DEFAULT OFF on this rig: with the full interleave in flight (per-segment
-# compact + ~128 pack-row programs + ~256 async d2h pulls) the axon relay
-# intermittently fails an execution with an opaque INVALID_ARGUMENT —
-# every constituent program passes in isolation with identical shapes and
-# data, and the interpret-mode semantics test passes, so this is a backend
-# concurrency fault, not a kernel bug (see
-# tests/test_compact_pallas.py::test_segmented_finalize_pallas_path).  The
-# fused one-program finalize is proven at 32M-window scale.
+# DEFAULT OFF — round-4 measurement: the round-3 intermittent backend
+# INVALID_ARGUMENT no longer reproduces (0/22 runs at 7M and 32M-window
+# scale after the span-pack/run-LSM restructure), but the segmented path
+# is NET SLOWER than the fused one (+0.07-0.15s total, chunk_wait +0.1s
+# at bench scale): the fused path's async sliced pulls already stream
+# into the encode, so segmentation only adds per-segment stats-pull sync
+# points.  Kept as an opt-in diagnostic, not a perf path (see
+# tests/test_compact_pallas.py::test_segmented_finalize_pallas_path).
 import os as _os
 
 _SEGMENTED_FINALIZE = _os.environ.get("KMCEX_SEGMENTED_FINALIZE", "0") == "1"

@@ -29,7 +29,12 @@ import numpy as np
 from kmcex_tpu.core.codec import _BASE_LUT
 
 DEFAULT_SEG_LEN = 256
-DEFAULT_BATCH_SEGS = 65536
+# Batch granularity: finer batches start the first h2d transfer sooner and
+# give the at-arrival sort/merge pipeline more overlap slots — measured
+# best on the bench workload (65536: 1.45-1.49s, 32768: 1.39s, 16384:
+# 1.34s end-to-end; 8192 regresses, its flush-shape variants explode the
+# compile set).  ~2M windows per batch at 150bp reads.
+DEFAULT_BATCH_SEGS = 16384
 
 
 def resolve_inputs(input_spec: str) -> list[str]:
