@@ -1023,7 +1023,8 @@ class DeviceCountAccumulator:
                   else cb_parts[0])
         # Group the spans into <= 8 pull slices so the host decode streams
         # (feed of group g overlaps the pull of group g+1).
-        n_groups = max(1, min(8, len(plan)))
+        n_groups = max(1, min(int(_os.environ.get("KMCEX_PULL_GROUPS", "8")),
+                              len(plan)))
         per = -(-len(plan) // n_groups)
         groups = []
         ko = co = 0
