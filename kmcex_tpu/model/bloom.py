@@ -60,17 +60,24 @@ class BloomBank:
     def bf_kmercount(self) -> int:
         return int(self.kmer_counts.sum())
 
-    def insert(self, pair_idx: int, kmers_u64: np.ndarray, k: int) -> None:
-        """Insert canonical k-mers into pair ``pair_idx`` (kmodel.hpp:473-506)."""
+    def insert(self, pair_idx: int, kmers_u64: np.ndarray, k: int,
+               n_threads: int = 0) -> None:
+        """Insert canonical k-mers into pair ``pair_idx`` (kmodel.hpp:473-506).
+
+        ``n_threads`` passes through to the native OMP insert; the streaming
+        encode calls this from a dedicated worker thread concurrently with
+        the array feed and the chunk producer, where spawning the default
+        all-cores OMP team oversubscribes the host (KMCEX_BLOOM_THREADS
+        tunes it; kmodel.init_from_chunks passes 1)."""
         if len(kmers_u64) == 0:
             return
         native.insert_bloom(
             kmers_u64, k, self.bit_bf[pair_idx], int(self.length_bf[pair_idx]),
-            self.bf_num_hash, substr_mode=0,
+            self.bf_num_hash, substr_mode=0, n_threads=n_threads,
         )
         native.insert_bloom(
             kmers_u64, k, self.bit_bf_back[pair_idx], int(self.length_bf_back[pair_idx]),
-            self.bf_back_num_hash, substr_mode=1,
+            self.bf_back_num_hash, substr_mode=1, n_threads=n_threads,
         )
 
     def check_all(self, kmers_u64: np.ndarray, k: int) -> np.ndarray:

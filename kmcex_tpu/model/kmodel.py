@@ -37,6 +37,14 @@ _U64 = np.uint64
 BUCKET_SIZE = 1 << 18  # reference km insertion bucket (kmodel.hpp:276)
 
 
+def _bloom_threads() -> int:
+    """OMP team size for the streaming encode's Bloom worker.  It runs
+    concurrently with the array feed (main thread) and the chunk-decode
+    producer, so the default all-cores team oversubscribes the host; one
+    thread measures best on the 2-core bench rig."""
+    return int(os.environ.get("KMCEX_BLOOM_THREADS", "1"))
+
+
 class PreSplitChunk(typing.NamedTuple):
     """A chunk already routed by counter (see split_chunk): the producer
     thread pays the numpy masking cost so the encode thread only feeds."""
@@ -159,7 +167,7 @@ class KModel:
                 i, kmers = item
                 t = time.time()
                 try:
-                    self.bloom.insert(i, kmers, k)
+                    self.bloom.insert(i, kmers, k, n_threads=_bloom_threads())
                 except BaseException as e:  # noqa: BLE001 — re-raised below
                     worker_err.append(e)
                 t_busy += time.time() - t
