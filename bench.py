@@ -333,9 +333,14 @@ def main() -> None:
                 log("generating realistic-spectrum FASTQ (40x, 0.5% errors) ...")
                 make_fastq(fqr, genome_len=2_000_000, n_reads=533_000,
                            seed=4242, err_rate=0.005)
-            kmr, kr, cr, _ = count_encode(
+            t0 = time.time()
+            kmr, kr, cr, rstats = count_encode(
                 str(fqr), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB
             )
+            t_real = time.time() - t0
+            log(f"realistic-spectrum count+encode: {rstats.reads} reads in "
+                f"{t_real:.2f}s -> {rstats.reads / t_real / 1e6:.3f} Mreads/s "
+                f"(singleton-heavy: the Bloom bank takes 80% of the keys)")
             raw_bytes_r = int(np.sum(K + 2 + np.char.str_len(cr.astype("U"))))
             model_bytes_r = kmr.total_model_bytes()
             mem_ratio_realistic = raw_bytes_r / model_bytes_r

@@ -200,3 +200,22 @@ def test_stream_writer_rejects_unsorted(tmp_path):
         w.write_chunk(np.array([20, 12], np.uint64),
                       np.array([1, 1], np.uint32))
     w.close()
+
+
+def test_stream_writer_quake_mode(tmp_path):
+    """Streaming writer in quake mode (float counters stored as IEEE bits,
+    kmc_file.cpp:408-420) matches the one-shot writer byte-for-byte."""
+    k = 21
+    can, _ = _pairs(99, 3000, k)
+    fcounts = (np.random.default_rng(1).random(len(can)) * 50 + 0.5).astype(
+        np.float32)
+    one = str(tmp_path / "one")
+    kmc_db.write_kmc1(one, can, fcounts, k, min_count=1, max_count=1023,
+                      mode=1)
+    st = str(tmp_path / "st")
+    with kmc_db.KMC1StreamWriter(st, k, min_count=1, max_count=1023,
+                                 mode=1) as w:
+        for a in range(0, len(can), 777):
+            w.write_chunk(can[a : a + 777], fcounts[a : a + 777])
+    for ext in (".kmc_pre", ".kmc_suf"):
+        assert (open(one + ext, "rb").read() == open(st + ext, "rb").read()), ext
