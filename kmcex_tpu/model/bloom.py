@@ -10,6 +10,19 @@ counts ci+1, ci, ci+2 (kmodel.hpp:246,361-371).
 
 Insertion is a commutative scatter-OR — order-free, so it can run batched
 (native C++ here; the device query path gathers from the same byte arrays).
+
+Negative result (round 4): building the filters ON DEVICE was analyzed and
+rejected.  The murmur positions are cheap to compute on device, but
+materializing the dense bitmap from them needs either a scatter (TPU XLA
+serializes scatters — 1.3M-96M single-bit writes), a per-output-bit
+membership searchsorted (~27 random gathers per output bit, seconds at
+genome scale), or a sorted-positions -> bitmap EXPAND kernel, whose
+log-shift formulation is NOT collision-free (expansion displacements jump
+arbitrarily per slot, unlike compaction's <=1-hole-per-slot bound, see
+count/compact_pallas.py).  Pulling positions instead of bytes moves
+100-400MB.  Meanwhile the host insert is memory-latency bound, prefetch
+pipelined, and fully overlapped behind the array feed (kmodel.init_from_
+chunks worker thread), so the device build would save ~0.1s at best.
 """
 
 from __future__ import annotations

@@ -313,3 +313,45 @@ def test_fused_finalize_stream():
                 np.unique(real, return_counts=True)[1] == ci + i))
                 for i in range(3)]
             np.testing.assert_array_equal(hist, want_hist)
+
+
+def test_fasta_joiner_fuzz(tmp_path):
+    """Randomized wrap widths (including 1-char lines, empty lines, CRLF,
+    headerless continuation across chunk seams) against brute force."""
+    rng = np.random.default_rng(41)
+    k = 11
+    for trial in range(6):
+        seqs = []
+        for i in range(int(rng.integers(1, 6))):
+            L = int(rng.integers(5, 900))
+            seqs.append("".join(rng.choice(list("ACGTN"), size=L,
+                                           p=[0.24] * 4 + [0.04])))
+        fa = tmp_path / f"f{trial}.fa"
+        nl = "\r\n" if trial % 2 else "\n"
+        with open(fa, "w", newline="") as f:
+            for i, s in enumerate(seqs):
+                f.write(f">s{i} desc{nl}")
+                a = 0
+                while a < len(s):
+                    w = int(rng.integers(1, 120))
+                    f.write(s[a : a + w] + nl)
+                    a += w
+                    if rng.random() < 0.1:
+                        f.write(nl)  # stray empty line inside the record
+        want = brute_counts(seqs, k)
+        from kmcex_tpu.io.fastq import _iter_seq_spans, _segment_spans
+
+        got: Counter = Counter()
+        reads = bases = 0
+        cb = int(rng.integers(64, 2048))
+        for block, s, e, nr, nb in _iter_seq_spans(str(fa), chunk_bytes=cb,
+                                                   k=k):
+            reads += nr
+            bases += nb
+            segs = _segment_spans(block, s, e, k, 64)
+            if len(segs):
+                km = np.asarray(extract.extract_canonical(segs, k)[0])
+                got.update(km[km != 0xFFFFFFFFFFFFFFFF].tolist())
+        assert got == want, trial
+        assert reads == len(seqs)
+        assert bases == sum(len(s) for s in seqs)

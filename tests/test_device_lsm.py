@@ -251,3 +251,41 @@ def test_disk_spill_ci_filter(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate(got_c), np.minimum(want_c[keep], 3).astype(np.uint32))
     assert total == int(np.count_nonzero(keep))
+
+
+def test_pack_plan_properties():
+    """_pack_plan spans must tile [0, >=n_real) contiguously on the granule
+    ladder, stay in-bounds, and carry widths that cover every gap/count
+    maximum of the stat granules they span."""
+    import numpy as np
+
+    from kmcex_tpu.count.device_lsm import (
+        PACK_SPAN_ELEMS,
+        PACK_TAIL_ELEMS,
+        _pack_plan,
+        _row_count,
+    )
+
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        size = 1 << int(rng.integers(10, 26))
+        n_real = int(rng.integers(1, size + 1))
+        n_rows = _row_count(size)
+        row_gap = rng.integers(1, 1 << 50, n_rows).astype(np.uint64)
+        row_cnt = rng.integers(1, 1 << 20, n_rows).astype(np.uint64)
+        plan = _pack_plan(size, n_real, row_gap, row_cnt, n_rows, 1023)
+        pos = 0
+        stat_m = size // n_rows
+        for start, m, wbits, cbits in plan:
+            assert start == pos, "spans must be contiguous"
+            assert m in (PACK_SPAN_ELEMS, PACK_TAIL_ELEMS, size)
+            assert start + m <= size, "span exceeds the table"
+            assert m % 8 == 0
+            g0, g1 = start // stat_m, min(-(-(start + m) // stat_m), n_rows)
+            gmax = max(int(row_gap[g]) for g in range(g0, g1))
+            assert (1 << wbits) > gmax or wbits == 64
+            cmax = min(max(int(row_cnt[g]) for g in range(g0, g1)), 1023)
+            assert (1 << cbits) > cmax or cbits == 32
+            pos += m
+        assert pos >= n_real, "plan must cover every real entry"
+        assert pos - n_real < max(PACK_TAIL_ELEMS, 8), "excess pad spans"
