@@ -160,7 +160,8 @@ def count_encode(
             n = int(mesh.devices.size)
             rows = max(1, batch_segs // n)
             stream = None
-            acc = ShardedCountAccumulator(mesh, k, rows, seg_len)
+            acc = ShardedCountAccumulator(mesh, k, rows, seg_len,
+                                          packed=True)
             with ph.phase("stream+extract"):
                 n_reads, n_bases = distributed.stream_into_accumulator(
                     acc, input_spec, k, seg_len)
