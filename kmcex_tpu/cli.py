@@ -97,6 +97,18 @@ def main(argv: list[str] | None = None) -> int:
         print("   --- phase breakdown (KMCEX_VERBOSE) ---")
         for name, secs in sorted(stats.phases.items(), key=lambda kv: -kv[1]):
             print(f"   {name:<28s}       :     {secs:.3f}s")
+    import os
+
+    stats_path = os.environ.get("KMCEX_STATS_JSON")
+    if stats_path:
+        # machine-readable run telemetry (production observability; the
+        # reference prints human text only, SURVEY.md §5 metrics row)
+        import dataclasses
+        import json
+
+        with open(stats_path, "w") as f:
+            json.dump({**dataclasses.asdict(stats),
+                       "reads_per_s": rate}, f, indent=1)
     return 0
 
 

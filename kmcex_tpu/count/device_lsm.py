@@ -860,6 +860,60 @@ class DeviceCountAccumulator:
                 shutil.rmtree(self._disk_dir, ignore_errors=True)
             self._disk_dir = None
 
+    # -- checkpoint / resume ----------------------------------------------
+    # The reference has NO mid-build persistence (builds are not resumable,
+    # SURVEY.md §5 "Checkpoint / resume"); at genome scale a multi-hour
+    # count needs one.  Every tier of this accumulator is already a set of
+    # sorted (kmers, counts) runs, so a checkpoint is: drain the device
+    # tiers to host, write each run as a run file, then the manifest LAST
+    # (a crash mid-checkpoint leaves no manifest -> no torn state).
+    def checkpoint(self, ckpt_dir: str) -> None:
+        """Persist the full counting state to ``ckpt_dir``; counting can
+        continue afterwards (the device tiers drain but the accumulator
+        stays valid)."""
+        import json
+        import os
+        import shutil
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._merge_device_runs()
+        if self.runs:
+            u, c, _ = self.runs.pop()
+            self._spill(u, c)
+        files = []
+        for i, (ku, kc) in enumerate(self.host_runs):
+            name = f"ckpt_run{i:04d}.bin"
+            write_run_file(os.path.join(ckpt_dir, name), np.asarray(ku),
+                           np.asarray(kc))
+            files.append(name)
+        for p in self.disk_runs:
+            name = f"ckpt_disk_{os.path.basename(p)}"
+            shutil.copyfile(p, os.path.join(ckpt_dir, name))
+            files.append(name)
+        tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"k": self.k, "total_windows": self.total_windows,
+                       "files": files}, f)
+        os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+
+    @classmethod
+    def restore(cls, ckpt_dir: str, **kwargs) -> "DeviceCountAccumulator":
+        """Rebuild an accumulator from ``checkpoint``; more batches may be
+        added before finalize.  Runs load as read-only memmaps (lazily
+        paged — restoring does not pull the table into RAM); checkpoint
+        files are never modified or deleted."""
+        import json
+        import os
+
+        with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+            m = json.load(f)
+        acc = cls(int(m["k"]), **kwargs)
+        acc.total_windows = int(m["total_windows"])
+        acc.host_runs = [open_run_file(os.path.join(ckpt_dir, name))
+                         for name in m["files"]]
+        acc.host_runs.sort(key=lambda r: -len(r[0]))  # cascade invariant
+        return acc
+
     def _rebalance(self) -> None:
         while len(self.runs) >= 2 and self.runs[-2][2] <= self.runs[-1][2]:
             self._merge_top2()

@@ -411,6 +411,69 @@ class ShardedCountAccumulator:
             u, c, _ = self.runs.pop()
             self._spill(u, c)
 
+    # -- checkpoint / resume ------------------------------------------------
+    def checkpoint(self, ckpt_dir: str) -> None:
+        """Persist the sharded counting state (per-shard run sets) so a
+        genome-scale multi-chip count can resume — mirrors
+        DeviceCountAccumulator.checkpoint (the reference has no mid-build
+        persistence, SURVEY.md §5).  In a multi-process runtime every
+        process holds the same gathered runs (_pull allgathers), so only
+        process 0 should write."""
+        import json
+        import os
+        import shutil
+
+        from kmcex_tpu.count import device_lsm
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        self._drain_to_host()
+        shard_files: list[list[str]] = []
+        for s in range(self.n):
+            files = []
+            for i, (ku, kc) in enumerate(self.host_runs[s]):
+                name = f"s{s:03d}_ckpt{i:04d}.bin"
+                device_lsm.write_run_file(os.path.join(ckpt_dir, name),
+                                          np.asarray(ku), np.asarray(kc))
+                files.append(name)
+            for p in self.disk_runs[s]:
+                name = f"s{s:03d}_ckptdisk_{os.path.basename(p)}"
+                shutil.copyfile(p, os.path.join(ckpt_dir, name))
+                files.append(name)
+            shard_files.append(files)
+        tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"k": self.k, "n_shards": self.n,
+                       "seg_rows": self.seg_rows, "seg_len": self.seg_len,
+                       "total_windows": self.total_windows,
+                       "shard_files": shard_files}, f)
+        os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+
+    @classmethod
+    def restore(cls, mesh: Mesh, ckpt_dir: str,
+                **kwargs) -> "ShardedCountAccumulator":
+        """Rebuild from ``checkpoint``; the mesh size must match.  Runs load
+        as read-only memmaps; checkpoint files are never deleted."""
+        import json
+        import os
+
+        from kmcex_tpu.count import device_lsm
+
+        with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+            m = json.load(f)
+        if int(m["n_shards"]) != mesh.devices.size:
+            raise ValueError(
+                f"checkpoint has {m['n_shards']} shards, mesh has "
+                f"{mesh.devices.size}")
+        acc = cls(mesh, int(m["k"]), int(m["seg_rows"]), int(m["seg_len"]),
+                  **kwargs)
+        acc.total_windows = int(m["total_windows"])
+        for s, files in enumerate(m["shard_files"]):
+            acc.host_runs[s] = [
+                device_lsm.open_run_file(os.path.join(ckpt_dir, name))
+                for name in files]
+            acc.host_runs[s].sort(key=lambda r: -len(r[0]))
+        return acc
+
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF):
         """Global host-side (kmers, counts) sorted ascending.  Materializes
         the table — bounded by the RAM budget unless disk runs exist; use

@@ -93,3 +93,23 @@ def test_cli_sharded_equals_device(tmp_path):
     for ext in [".kmc_pre", ".kmc_suf"]:
         assert ((tmp_path / ("s.res" + ext)).read_bytes()
                 == (tmp_path / ("d.res" + ext)).read_bytes()), ext
+
+
+def test_cli_stats_json(tmp_path, monkeypatch):
+    import json
+
+    rng = np.random.default_rng(9)
+    genome = "".join(rng.choice(list("ACGT"), size=2000))
+    fq = tmp_path / "r.fastq"
+    with open(fq, "w") as f:
+        for i in range(300):
+            s = int(rng.integers(0, len(genome) - 80))
+            f.write(f"@r{i}\n{genome[s:s+80]}\n+\n{'I'*80}\n")
+    sj = tmp_path / "stats.json"
+    monkeypatch.setenv("KMCEX_STATS_JSON", str(sj))
+    rc = main(["kmcex", "-k21", str(fq), str(tmp_path / "o.res"),
+               str(tmp_path)])
+    assert rc == 0
+    st = json.loads(sj.read_text())
+    assert st["reads"] == 300 and st["distinct_kmers"] > 0
+    assert st["reads_per_s"] > 0 and "phases" in st

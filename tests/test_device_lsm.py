@@ -289,3 +289,63 @@ def test_pack_plan_properties():
             pos += m
         assert pos >= n_real, "plan must cover every real entry"
         assert pos - n_real < max(PACK_TAIL_ELEMS, 8), "excess pad spans"
+
+
+def test_checkpoint_resume(tmp_path):
+    """Mid-count checkpoint -> restore -> continue == straight-through
+    (the reference has no mid-build persistence; SURVEY §5 row exceeded).
+    Checkpoint files survive the restored accumulator's finalize."""
+    import os
+
+    import numpy as np
+
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(61)
+    k = 15
+    batches = []
+    for _ in range(8):
+        codes = rng.integers(0, 4, size=(16, 48)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.02] = 255
+        batches.append(codes)
+
+    ref = DeviceCountAccumulator(k)
+    for b in batches:
+        ref.add_batch(b)
+    want_k, want_c = ref.finalize(ci=1)
+    want_w = ref.total_windows
+
+    acc = DeviceCountAccumulator(k, raw_tier_elems=1024,
+                                 spill_threshold=2048)
+    for b in batches[:5]:
+        acc.add_batch(b)
+    ck = tmp_path / "ckpt"
+    acc.checkpoint(str(ck))
+    assert (ck / "manifest.json").exists()
+
+    res = DeviceCountAccumulator.restore(str(ck), raw_tier_elems=1024,
+                                         spill_threshold=2048)
+    for b in batches[5:]:
+        res.add_batch(b)
+    got_k, got_c = res.finalize(ci=1)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+    assert res.total_windows == want_w
+    # checkpoint untouched: restore again and finalize WITHOUT new batches
+    res2 = DeviceCountAccumulator.restore(str(ck))
+    pk, pc = res2.finalize(ci=1)
+    ref5 = DeviceCountAccumulator(k)
+    for b in batches[:5]:
+        ref5.add_batch(b)
+    w5k, w5c = ref5.finalize(ci=1)
+    np.testing.assert_array_equal(pk, w5k)
+    np.testing.assert_array_equal(pc, w5c)
+    assert (ck / "manifest.json").exists()
+    assert any(f.name.startswith("ckpt_run") for f in ck.iterdir())
+
+    # the original accumulator stays valid after checkpointing too
+    for b in batches[5:]:
+        acc.add_batch(b)
+    ak, ac = acc.finalize(ci=1)
+    np.testing.assert_array_equal(ak, want_k)
+    np.testing.assert_array_equal(ac, want_c)

@@ -397,3 +397,40 @@ def test_genome_scale_e2e_sharded_disk_to_model(tmp_path):
         sb = (tmp_path / ("db_ram" + ext)).read_bytes()
         assert sa == sb, ext
     assert st.distinct_kmers == len(kd)
+
+
+def test_sharded_checkpoint_resume(tmp_path):
+    """Sharded mid-count checkpoint -> restore on a fresh mesh accumulator
+    -> continue == straight-through; mesh-size mismatch rejected."""
+    import pytest
+
+    from kmcex_tpu.count.device_lsm import DeviceCountAccumulator
+
+    rng = np.random.default_rng(67)
+    k, n, rows, L = 15, 8, 16, 48
+    batches = [_random_codes(rng, rows, L) for _ in range(6)]
+    mesh = sharded.make_mesh(n)
+
+    ref = DeviceCountAccumulator(k)
+    for b in batches:
+        ref.add_batch(b)
+    want_k, want_c = ref.finalize(ci=1)
+
+    acc = sharded.ShardedCountAccumulator(mesh, k, rows // n, L,
+                                          raw_tier_elems=64,
+                                          spill_threshold=256)
+    for b in batches[:3]:
+        acc.add_batch(b)
+    ck = tmp_path / "ck"
+    acc.checkpoint(str(ck))
+    res = sharded.ShardedCountAccumulator.restore(
+        mesh, str(ck), raw_tier_elems=64, spill_threshold=256)
+    for b in batches[3:]:
+        res.add_batch(b)
+    got_k, got_c = res.finalize(ci=1)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c)
+
+    with pytest.raises(ValueError):
+        sharded.ShardedCountAccumulator.restore(sharded.make_mesh(4),
+                                                str(ck))
