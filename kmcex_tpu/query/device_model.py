@@ -17,8 +17,6 @@ reference binary's answers).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
