@@ -113,3 +113,46 @@ def test_cli_stats_json(tmp_path, monkeypatch):
     st = json.loads(sj.read_text())
     assert st["reads"] == 300 and st["distinct_kmers"] > 0
     assert st["reads_per_s"] > 0 and "phases" in st
+
+
+def test_cli_list_input_ci2_model(tmp_path):
+    """BASELINE config 2 shape: @list input (one member gzipped) with the
+    ci=2 counter>1 model path (bf_num=3, probe order {1,0,2}) end-to-end
+    through the CLI; model answers equal a direct host build."""
+    import gzip
+
+    rng = np.random.default_rng(13)
+    genome = "".join(rng.choice(list("ACGT"), size=4000))
+
+    def reads(n, seed):
+        r = np.random.default_rng(seed)
+        return [genome[s : s + 90]
+                for s in r.integers(0, len(genome) - 90, size=n)]
+
+    f1 = tmp_path / "a.fastq"
+    with open(f1, "w") as f:
+        for i, s in enumerate(reads(900, 1)):
+            f.write(f"@a{i}\n{s}\n+\n{'I'*90}\n")
+    f2 = tmp_path / "b.fastq.gz"
+    with gzip.open(f2, "wt") as f:
+        for i, s in enumerate(reads(900, 2)):
+            f.write(f"@b{i}\n{s}\n+\n{'I'*90}\n")
+    lst = tmp_path / "in.lst"
+    lst.write_text(f"{f1}\n{f2}\n")
+
+    rc = main(["kmcex", "-k21", "-ci2", "-cs255", f"@{lst}",
+               str(tmp_path / "o.res"), str(tmp_path)])
+    assert rc == 0
+    from kmcex_tpu.io import kmc_db
+    from kmcex_tpu.model.kmodel import get_model, load_model
+
+    km = load_model(tmp_path / "o.res")
+    assert km.ci == 2 and km.bf_num == 3
+    r = kmc_db.KMCReader(str(tmp_path / "o.res"))
+    kmers, counts = r.list_all()
+    assert (counts >= 2).all() and counts.max() <= 255
+    ref = get_model(2, 255, 7, 5)
+    ref.init_from_pairs(kmers, counts.astype(np.uint32), 21)
+    q = np.concatenate([kmers[::7], kmers[:64] ^ np.uint64(0b11)])
+    np.testing.assert_array_equal(km.kmer_to_occ_u64(q),
+                                  ref.kmer_to_occ_u64(q))
