@@ -333,11 +333,13 @@ def main() -> None:
                 log("generating realistic-spectrum FASTQ (40x, 0.5% errors) ...")
                 make_fastq(fqr, genome_len=2_000_000, n_reads=533_000,
                            seed=4242, err_rate=0.005)
-            t0 = time.time()
-            kmr, kr, cr, rstats = count_encode(
-                str(fqr), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB
-            )
-            t_real = time.time() - t0
+            t_real = None
+            for _ in range(2):  # first pass may pay this shape's compiles
+                t0 = time.time()
+                kmr, kr, cr, rstats = count_encode(
+                    str(fqr), k=K, ci=CI, cs=CS, num_hash=NH, num_bit=NB
+                )
+                t_real = min(t_real or 1e9, time.time() - t0)
             log(f"realistic-spectrum count+encode: {rstats.reads} reads in "
                 f"{t_real:.2f}s -> {rstats.reads / t_real / 1e6:.3f} Mreads/s "
                 f"(singleton-heavy: the Bloom bank takes 80% of the keys)")
