@@ -363,6 +363,29 @@ def _compact_seg(key, cnt, q, seg_len: int, n_rows: int, ci=1):
     return u, c, _final_stats(u, c, ci, n_rows)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def _drop_below(key, cnt, thresh, n_rows: int):
+    """Drop every entry with count < ``thresh`` (traced) from a compacted
+    (key, cnt) table and recompact + restat it.  Used by the device-bloom
+    fast path: low-count keys whose Bloom insertion happened ON DEVICE
+    never need to cross the host link, and for ci>1 the sub-ci keys the
+    decode would discard anyway stop traveling too."""
+    mask = cnt >= thresh
+    ks = jnp.where(mask, key, SENTINEL)
+    cs_ = jnp.where(mask, cnt, 0)
+    from kmcex_tpu.count import sort_pallas
+
+    n = key.shape[0]
+    if sort_pallas.use_pallas_sort():
+        from kmcex_tpu.count import compact_pallas
+
+        u, c = compact_pallas.compact_pairs(ks, cs_)
+        u, c = u[:n], c[:n]
+    else:  # CPU fallback: compaction by payload sort
+        u, c = jax.lax.sort((ks, cs_), num_keys=1, is_stable=False)
+    return u, c, _final_stats(u, c, thresh, n_rows)
+
+
 def _pack_bits(vals: jnp.ndarray, width: int) -> jnp.ndarray:
     """Pack ``vals`` (uint64, each < 2**width, len % 8 == 0) into a dense
     little-endian bitstream: each group of 8 values becomes exactly
@@ -528,20 +551,22 @@ def one_pass_finalize(sources, ci: int, cs: int, disk_dir: str | None,
                     cleanup()
 
         return total, hist, chunks()
-    # all-RAM regime: one pass accumulates the merged chunks directly
+    # all-RAM regime: one pass accumulates the merged chunks directly.
+    # Chunks are stored ci-filtered and cs-clamped so the retained copy is
+    # the final table, not the raw merge output — peak host memory is the
+    # source runs plus the (smaller) filtered table, never both unfiltered.
     parts = []
     for mk, mc in DeviceCountAccumulator._merge_streams(sources):
         total += int(np.count_nonzero(mc >= ci))
         for i in range(3):
             hist[i] += int(np.count_nonzero(mc == ci + i))
-        parts.append((mk, mc))
+        keep = mc >= ci
+        if keep.any():
+            parts.append((mk[keep], np.minimum(mc[keep], np.uint32(cs))))
 
     def ram_chunks():
         try:
-            for mk, mc in parts:
-                keep = mc >= ci
-                if keep.any():
-                    yield mk[keep], np.minimum(mc[keep], np.uint32(cs))
+            yield from parts
         finally:
             if cleanup is not None:
                 cleanup()
@@ -625,6 +650,8 @@ class DeviceCountAccumulator:
         self.runs: list[tuple[jnp.ndarray, jnp.ndarray, int]] = []  # (k, c, size)
         self.host_runs: list[tuple[np.ndarray, np.ndarray]] = []
         self.total_windows = 0
+        # set by finalize_stream when a bloom_factory ran on this table
+        self.device_bloom = None
 
     def add_batch(self, codes) -> None:
         n_windows = codes.shape[0] * (codes.shape[1] - self.k + 1)
@@ -1123,10 +1150,54 @@ class DeviceCountAccumulator:
                 co += cn
                 yield ku, kc
 
-    def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF, n_chunks: int = 16):
+    def _finalize_device_table(self, u, c, flat, ci, cs, bloom_factory,
+                               drop_low):
+        """Common tail of the on-device finalize paths: optional device
+        Bloom-bank build (model.device_bloom) + optional low-key transfer
+        drop, then the packed pull.  Dispatch order matters: the pack/pull
+        dispatches go FIRST so the table transfer starts immediately; the
+        bloom feed scatters run behind them on the device stream,
+        overlapping the host-side decode/encode.  Sets ``self.device_bloom``
+        to the builder (None when no build ran)."""
+        flat = np.asarray(flat)
+        total = int(flat[0])
+        hist = flat[1:4].astype(np.int64)
+        n_real = int(flat[4])
+        builder = None
+        if bloom_factory is not None and n_real:
+            try:
+                builder = bloom_factory(hist)
+            except ValueError:  # bitmap too large: host build fallback
+                builder = None
+        bf_num = 1 if ci == 1 else 3
+        if builder is not None and drop_low:
+            n_rows = _row_count(int(u.shape[0]))
+            u2, c2, flat2 = _drop_below(u, c, jnp.uint32(ci + bf_num), n_rows)
+            meta = self._pack_run(u2, c2, ci, cs, np.asarray(flat2))
+        else:
+            meta = self._pack_run(u, c, ci, cs, flat)
+        if builder is not None:
+            builder.feed_table(u, c, n_real)
+            builder.start_pull()
+        self.device_bloom = builder
+        if meta is None or total == 0:
+            return total, hist, iter(())
+        return total, hist, _decode_filter(meta, ci)
+
+    def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF,
+                        n_chunks: int = 16, bloom_factory=None,
+                        drop_low: bool = False):
         """Streaming finalize: returns (total, low_hist, chunk_iter) where
         ``chunk_iter`` yields (kmers, counts) numpy chunks in ascending-k-mer
         order, already ci-filtered and cs-clamped.
+
+        ``bloom_factory`` (callable(low_hist) -> model.device_bloom.
+        DeviceBloomBuilder) opts into building the Bloom bank on device for
+        the single-device-table regimes; the builder lands on
+        ``self.device_bloom``.  ``drop_low`` additionally drops the
+        Bloom-bound keys (and sub-ci keys) from the host transfer — only
+        valid when the caller does not need the low pairs on the host (no
+        KMC database spool, no keep_pairs).
 
         The common case (the whole input is one raw tier) runs as ONE fused
         device program — concat, sort, compact, stats — followed by ONE
@@ -1139,6 +1210,7 @@ class DeviceCountAccumulator:
         started up front; consuming a chunk (feeding the model encoder)
         overlaps later transfers.  ``n_chunks`` is kept for API
         compatibility (host-run chunking only)."""
+        self.device_bloom = None
         if (not self.runs and not self.host_runs and not self.disk_runs
                 and (self.raw or self.tile_runs)):
             if self.tile_mode:
@@ -1162,10 +1234,8 @@ class DeviceCountAccumulator:
                                                  n_rows)
                 self.raw = []
                 self.raw_elems = 0
-                meta = self._pack_run(u, c, ci, cs, np.asarray(flat))
-                if meta is None:
-                    return 0, np.zeros(3, dtype=np.int64), iter(())
-                return meta["total"], meta["hist"], _decode_filter(meta, ci)
+                return self._finalize_device_table(u, c, flat, ci, cs,
+                                                   bloom_factory, drop_low)
             # SEGMENTED single-tier finalize: sort + boundary-mark the whole
             # tier, pull only the 4-word sizing stats, then compact/pack/pull
             # one key-range segment at a time — the host encode consumes
@@ -1212,7 +1282,6 @@ class DeviceCountAccumulator:
         if not self.runs:
             return 0, np.zeros(3, dtype=np.int64), iter(())
         u, c, _ = self.runs[0]
-        meta = self._pack_run(u, c, ci, cs)
-        if meta is None:
-            return 0, np.zeros(3, dtype=np.int64), iter(())
-        return meta["total"], meta["hist"], _decode_filter(meta, ci)
+        flat = _final_stats(u, c, np.uint32(ci), _row_count(int(u.shape[0])))
+        return self._finalize_device_table(u, c, flat, ci, cs,
+                                           bloom_factory, drop_low)

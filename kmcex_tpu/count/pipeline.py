@@ -10,6 +10,7 @@ with the vendored KMC API), and encodes the KModel.
 from __future__ import annotations
 
 import dataclasses
+import os
 import pathlib
 import time
 
@@ -197,8 +198,27 @@ def count_encode(
                     parsed, depth=2, transform=put
                 ):
                     acc.add_batch_packed(packed, maskbits)
+        # Device Bloom build (model/device_bloom.py): for the single-chip
+        # device accumulator the Bloom bank is scattered together ON the
+        # device, overlapping the table pull; when the host needs no low
+        # pairs (no DB spool, no keep_pairs) those keys are dropped from
+        # the transfer entirely — on singleton-heavy real spectra that is
+        # ~80% of the table staying on device, with only the ~5x-smaller
+        # finished filter bytes crossing the link.
+        fin_kwargs = {}
+        if (accumulator == "device"
+                and os.environ.get("KMCEX_DEVICE_BLOOM", "1") != "0"):
+            from kmcex_tpu.model.device_bloom import DeviceBloomBuilder
+
+            fin_kwargs = dict(
+                bloom_factory=lambda hist: DeviceBloomBuilder(
+                    k, ci, num_hash, hist),
+                drop_low=(not keep_pairs) and db_path is None,
+            )
         with ph.phase("merge+stats"):
-            total, low_hist, chunks = acc.finalize_stream(ci, cs)
+            total, low_hist, chunks = acc.finalize_stream(ci, cs,
+                                                          **fin_kwargs)
+        bloom_builder = getattr(acc, "device_bloom", None)
         # a producer thread owns the device->host pulls, the delta decode AND
         # the per-chunk counter routing (model.kmodel.split_chunk) so the
         # (GIL-releasing) native encode on the main thread only feeds
@@ -225,8 +245,14 @@ def count_encode(
         km = get_model(ci, cs, num_hash, num_bit)
         try:
             with ph.phase("transfer+encode"):
-                km.init_from_chunks(chunks, k, total, low_hist)
-        finally:
+                km.init_from_chunks(chunks, k, total, low_hist,
+                                    device_bloom=bloom_builder)
+        except BaseException:
+            # a partial spool must not look like a complete database
+            if writer is not None:
+                writer.abort()
+            raise
+        else:
             if writer is not None:
                 writer.close()
         for name, secs in getattr(km, "encode_phases", {}).items():

@@ -498,7 +498,10 @@ class KMC1StreamWriter:
     regime inside the external kmc binary's external-memory bins,
     main.cpp:137-140; this is that capability rebuilt for the streaming
     finalize).  Counter width derives from ``max_count`` (counters are
-    cs-clamped upstream), or pass ``counter_size`` explicitly.
+    cs-clamped upstream), or pass ``counter_size`` explicitly.  NOTE:
+    byte-identity with ``write_kmc1`` (which sizes counters from the
+    actual data maximum) requires an explicit ``max_count`` or
+    ``counter_size``; without either, counters default to 4 bytes.
 
     Usage:
         w = KMC1StreamWriter(path, k, min_count=ci, max_count=cs)
@@ -520,8 +523,7 @@ class KMC1StreamWriter:
         if mode == 1:
             self.cbytes = 4
         else:
-            bound = max_count if max_count != 0xFFFFFFFF else 0xFFFFFFFF
-            self.cbytes = counter_size or counter_size_for(bound)
+            self.cbytes = counter_size or counter_size_for(max_count)
         self.suf_bases = k - self.p
         self.sufix_size = self.suf_bases // 4
         self.lut_counts = np.zeros(1 << (2 * self.p), dtype=np.int64)
@@ -567,11 +569,31 @@ class KMC1StreamWriter:
                         self.cbytes, self.p, self.min_count, self.max_count,
                         self.total, self.both_strands)
 
+    def abort(self) -> None:
+        """Discard the partial database: delete the spooled .kmc_suf and
+        never write .kmc_pre.  Call on a failed build so a truncated spool
+        cannot be mistaken for a complete database (KMCReader would parse
+        a finalized-but-short file as valid)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._suf.close()
+        import os
+
+        for ext in (".kmc_suf", ".kmc_pre"):
+            try:
+                os.unlink(self.path + ext)
+            except OSError:
+                pass
+
     def __enter__(self):
         return self
 
     def __exit__(self, *exc):
-        self.close()
+        if exc and exc[0] is not None:
+            self.abort()
+        else:
+            self.close()
 
 
 def _build_records(kmers, counts, multiword: bool, sufix_size: int,

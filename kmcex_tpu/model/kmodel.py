@@ -113,14 +113,21 @@ class KModel:
         )
 
     def init_from_chunks(self, chunk_iter, k: int, total_kmer_count: int,
-                         low_hist: np.ndarray) -> None:
+                         low_hist: np.ndarray, device_bloom=None) -> None:
         """Streaming build: ``chunk_iter`` yields (kmers_u64, counts) chunks
         in listing order; ``total_kmer_count`` and ``low_hist`` (counts of
         counter==ci+i for i<3) must cover the whole stream (the reference's
         pass 1, computed on device by the counting pipeline).  Chunked
         feeding is bit-identical to a one-shot build — the encode schedule
         depends only on overall stream order — and lets device->host pulls
-        overlap the encode."""
+        overlap the encode.
+
+        ``device_bloom`` (model.device_bloom.DeviceBloomBuilder, already
+        fed with this stream's low-count keys) replaces the host Bloom
+        insertion entirely: the finished filter bytes are pulled into the
+        bank at the end (order-free scatter-OR makes the result
+        bit-identical to the host build), and any low-count pairs still
+        present in the chunks are NOT re-inserted."""
         t0 = time.time()
         self.kmer_length = int(k)
         self.total_kmer_count = int(total_kmer_count)
@@ -135,6 +142,9 @@ class KModel:
             "chunk_wait": 0.0, "bloom_insert": 0.0, "array_feed": 0.0,
             "array_finish": 0.0, "rest_build": 0.0, "route_split": 0.0,
         }
+        if device_bloom is not None:
+            return self._init_from_chunks_device_bloom(
+                chunk_iter, device_bloom, ph, t0)
 
         # Pass 2: route. BF inserts are commutative scatter-ORs — order-free,
         # so they run on a worker thread (the native insert releases the GIL)
@@ -208,6 +218,52 @@ class KModel:
             bw.join()
         if worker_err:
             raise worker_err[0]
+        t = time.time()
+        if len(rest_kmers):
+            self.kld.push_back(rest_kmers, rest_occs)
+        self.kld.build()
+        ph["rest_build"] = time.time() - t
+        self.build_time_cost = time.time() - t0
+
+    def _init_from_chunks_device_bloom(self, chunk_iter, device_bloom, ph,
+                                       t0) -> None:
+        """Encode loop when the Bloom bank was built on device: no host
+        bloom worker — the main thread only feeds the order-dependent
+        coupled-array encoder, and the finished filter bytes are pulled at
+        the end (the async pull has been in flight since the count
+        finalize)."""
+        enc = native.BitArrayEncoder(
+            self.kmer_length, self.n_bits, self.n_hash,
+            self.occu_bin.occ2bin_lut,
+            self.bit1.reshape(-1), self.bit2.reshape(-1), self.km_bit_size,
+            self.km_back, self.bit_km_back, self.km_back_num_hash,
+            bucket_size=BUCKET_SIZE,
+        )
+        it = iter(chunk_iter)
+        while True:
+            t = time.time()
+            item = next(it, None)
+            ph["chunk_wait"] += time.time() - t
+            if item is None:
+                break
+            if isinstance(item, PreSplitChunk):
+                arr_kmers, arr_counts = item.arr_kmers, item.arr_counts
+            else:
+                kmers_u64, counts = item
+                t = time.time()
+                sp = split_chunk(kmers_u64, counts, self.ci, self.bf_num)
+                arr_kmers, arr_counts = sp.arr_kmers, sp.arr_counts
+                ph["route_split"] += time.time() - t
+            if len(arr_kmers):
+                t = time.time()
+                enc.feed(arr_kmers, arr_counts)
+                ph["array_feed"] += time.time() - t
+        t = time.time()
+        rest_kmers, rest_occs = enc.finish()
+        ph["array_finish"] = time.time() - t
+        t = time.time()
+        device_bloom.into(self.bloom)
+        ph["bloom_pull"] = time.time() - t
         t = time.time()
         if len(rest_kmers):
             self.kld.push_back(rest_kmers, rest_occs)

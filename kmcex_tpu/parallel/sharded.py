@@ -414,17 +414,24 @@ class ShardedCountAccumulator:
         """Persist the sharded counting state (per-shard run sets) so a
         genome-scale multi-chip count can resume — mirrors
         DeviceCountAccumulator.checkpoint (the reference has no mid-build
-        persistence, SURVEY.md §5).  In a multi-process runtime every
-        process holds the same gathered runs (_pull allgathers), so only
-        process 0 should write."""
+        persistence, SURVEY.md §5).  Call on ALL processes of a
+        multi-process runtime: the drain runs collectives (allgathers)
+        that need every process, and every process holds the same
+        gathered runs afterwards — the file/manifest writes themselves
+        are gated on process 0 here, so concurrent calls never race on
+        the shared checkpoint paths."""
         import json
         import os
         import shutil
 
         from kmcex_tpu.count import device_lsm
 
-        os.makedirs(ckpt_dir, exist_ok=True)
         self._drain_to_host()
+        import jax as _jax
+
+        if _jax.process_index() != 0:
+            return
+        os.makedirs(ckpt_dir, exist_ok=True)
         shard_files: list[list[str]] = []
         for s in range(self.n):
             files = []
@@ -487,12 +494,14 @@ class ShardedCountAccumulator:
                         n_chunks: int = 16):
         """Streaming finalize with the same (total, low_hist, chunk_iter)
         contract as DeviceCountAccumulator.finalize_stream: ascending
-        ci-filtered cs-clamped chunks, host memory bounded by
-        (n_runs + 1) merge windows — never the whole table.  ONE k-way
-        merge traversal total (one_pass_finalize computes the sizing
-        stats while spooling the merged table — to disk when the disk
-        tier engaged, to RAM chunks otherwise).  ``n_chunks`` is kept
-        for API compatibility."""
+        ci-filtered cs-clamped chunks.  ONE k-way merge traversal total
+        (one_pass_finalize computes the sizing stats while spooling the
+        merged table).  Memory bound by regime: when the disk tier
+        engaged, the merge spools to disk and host memory stays at
+        (n_runs + 1) merge windows; below the disk threshold the
+        ci-filtered cs-clamped table itself is retained in RAM alongside
+        the source runs (both under the spill budget by construction).
+        ``n_chunks`` is kept for API compatibility."""
         from kmcex_tpu.count import device_lsm
 
         self._drain_to_host()

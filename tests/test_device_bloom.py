@@ -1,0 +1,115 @@
+"""Device Bloom-bank build parity: the scatter-built filters must be
+byte-identical to the host/native insertion (order-independence of the
+Bloom OR makes this exact, kmodel.hpp:473-506)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from kmcex_tpu.count.device_lsm import SENTINEL  # noqa: E402
+from kmcex_tpu.model.bloom import BloomBank  # noqa: E402
+from kmcex_tpu.model.device_bloom import DeviceBloomBuilder  # noqa: E402
+from kmcex_tpu.model.kmodel import get_model  # noqa: E402
+
+
+def _rand_table(rng, n, k, ci, max_c=9):
+    mask = (1 << (2 * k)) - 1
+    kmers = np.unique(
+        rng.integers(0, mask + 1, size=n, dtype=np.uint64))
+    from kmcex_tpu.core import codec
+
+    kmers = np.unique(codec.canonical_np(kmers, k))
+    counts = rng.integers(ci, max_c, size=len(kmers)).astype(np.uint32)
+    return kmers, counts
+
+
+@pytest.mark.parametrize("k,ci,nh", [(31, 1, 7), (25, 2, 7), (31, 2, 5)])
+def test_device_bloom_matches_host(k, ci, nh):
+    rng = np.random.default_rng(42 + k + ci)
+    kmers, counts = _rand_table(rng, 4000, k, ci)
+    bf_num = 1 if ci == 1 else 3
+    hist = np.array(
+        [np.count_nonzero(counts == ci + i) for i in range(3)], np.uint64)
+
+    host = BloomBank(hist, nh, ci)
+    for i in range(bf_num):
+        host.insert(i, kmers[counts == ci + i], k)
+
+    b = DeviceBloomBuilder(k, ci, nh, hist)
+    # SENTINEL-padded device table, like the fused finalize produces
+    pad = 173
+    u = jnp.asarray(np.concatenate(
+        [kmers, np.full(pad, np.uint64(SENTINEL))]))
+    c = jnp.asarray(np.concatenate(
+        [counts, np.zeros(pad, np.uint32)]))
+    dev = BloomBank(hist, nh, ci)
+    b.feed_table(u, c, len(kmers))
+    b.into(dev)
+
+    for i in range(bf_num):
+        np.testing.assert_array_equal(dev.bit_bf[i], host.bit_bf[i])
+        np.testing.assert_array_equal(dev.bit_bf_back[i],
+                                      host.bit_bf_back[i])
+    # membership answers agree too
+    probe = np.concatenate([kmers[:200], rng.integers(
+        0, 1 << (2 * k), 100, dtype=np.uint64)])
+    from kmcex_tpu.core import codec
+
+    probe = codec.canonical_np(probe, k)
+    np.testing.assert_array_equal(
+        dev.check_all(probe, k), host.check_all(probe, k))
+
+
+def test_device_bloom_split_feeds_match():
+    """Feeding the table in two finalize-style calls equals one feed."""
+    k, ci, nh = 31, 1, 7
+    rng = np.random.default_rng(7)
+    kmers, counts = _rand_table(rng, 3000, k, ci)
+    hist = np.array(
+        [np.count_nonzero(counts == ci + i) for i in range(3)], np.uint64)
+
+    one = DeviceBloomBuilder(k, ci, nh, hist)
+    one.feed_table(jnp.asarray(kmers), jnp.asarray(counts), len(kmers))
+    cut = len(kmers) // 2
+    two = DeviceBloomBuilder(k, ci, nh, hist)
+    two.feed_table(jnp.asarray(kmers[:cut]), jnp.asarray(counts[:cut]), cut)
+    two.feed_table(jnp.asarray(kmers[cut:]), jnp.asarray(counts[cut:]),
+                   len(kmers) - cut)
+    b1 = BloomBank(hist, nh, ci)
+    b2 = BloomBank(hist, nh, ci)
+    one.into(b1)
+    two.into(b2)
+    np.testing.assert_array_equal(b1.bit_bf[0], b2.bit_bf[0])
+    np.testing.assert_array_equal(b1.bit_bf_back[0], b2.bit_bf_back[0])
+
+
+def test_count_encode_device_bloom_model_identical(tmp_path):
+    """End-to-end: the model-only fast path (device bloom + dropped low
+    transfer) builds a byte-identical model to the host-bloom path."""
+    import os
+
+    from kmcex_tpu.count.pipeline import count_encode
+    from tests.test_byte_ranges import _write_fastq  # tiny generator
+
+    fq = tmp_path / "reads.fastq"
+    _write_fastq(fq, n_reads=500, seed=5)
+    k = 19  # generator reads are 20-60bp
+
+    os.environ["KMCEX_DEVICE_BLOOM"] = "0"
+    try:
+        km_host, kk, cc, _ = count_encode(str(fq), k=k, keep_pairs=True)
+    finally:
+        os.environ["KMCEX_DEVICE_BLOOM"] = "1"
+    # fast path: no pairs kept, no DB -> low keys never reach the host
+    km_dev, _, _, stats = count_encode(str(fq), k=k, keep_pairs=False)
+
+    d_host = tmp_path / "m_host"
+    d_dev = tmp_path / "m_dev"
+    km_host.save(d_host)
+    km_dev.save(d_dev)
+    for name in ("header", "km.bin", "rest.bin"):
+        assert (d_host / name).read_bytes() == (d_dev / name).read_bytes(), name
+    # the fast path really did drop the low keys from the transfer
+    assert stats.distinct_kmers == len(kk)
