@@ -36,6 +36,9 @@ USAGE = """\
         -acc<kind>         - counting backend: device | sharded
                              (extension; sharded = hash-routed device mesh,
                              the multi-chip / multi-host path)
+        -ckpt<dir>         - checkpoint the count phase into <dir>
+                             (extension; rerunning the same command after a
+                             crash resumes from the last checkpoint)
 3. EXAMPLES
      kmcex -k31 -nh7 -nb5  rs.fastq rs.res /tmp
      kmcex -k31 -nh7 -nb5  @rs.lst rs.res /tmp
@@ -55,6 +58,8 @@ def parse_parameters(argv: list[str]) -> KParams | None:
             break
         if a.startswith("-acc"):
             params.accumulator = a[4:]
+        elif a.startswith("-ckpt"):
+            params.ckpt_dir = a[5:]
         elif a.startswith("-t"):
             params.t = int(a[2:])
         elif a.startswith("-k"):

@@ -26,6 +26,10 @@ class KParams:
     # "device" = single chip, "sharded" = hash-routed mesh over all devices
     # (the multi-chip / multi-host path; CLI flag -acc)
     accumulator: str = "device"
+    # checkpoint directory for a resumable count phase (extension; CLI flag
+    # -ckpt).  Empty = no checkpointing.  A genome-scale run killed mid-count
+    # resumes from the last checkpoint when rerun with the same arguments.
+    ckpt_dir: str = ""
 
     def __post_init__(self) -> None:
         if not (2 <= self.k <= 32):

@@ -894,10 +894,12 @@ class DeviceCountAccumulator:
     # sorted (kmers, counts) runs, so a checkpoint is: drain the device
     # tiers to host, write each run as a run file, then the manifest LAST
     # (a crash mid-checkpoint leaves no manifest -> no torn state).
-    def checkpoint(self, ckpt_dir: str) -> None:
+    def checkpoint(self, ckpt_dir: str, extra: dict | None = None) -> None:
         """Persist the full counting state to ``ckpt_dir``; counting can
         continue afterwards (the device tiers drain but the accumulator
-        stays valid)."""
+        stays valid).  ``extra`` rides along in the manifest (the pipeline
+        stores its stream position there, see pipeline.count_encode
+        ckpt_dir)."""
         import json
         import os
         import shutil
@@ -907,21 +909,49 @@ class DeviceCountAccumulator:
         if self.runs:
             u, c, _ = self.runs.pop()
             self._spill(u, c)
+        # Each checkpoint writes a NEW file generation: a restored
+        # accumulator holds read-only memmaps of the previous generation's
+        # files, so overwriting them in place would SIGBUS the reader.
+        # Stale generations are unlinked only AFTER the new manifest lands
+        # (open memmaps keep the inodes alive; a crash in between just
+        # leaks files the next checkpoint cleans up).
+        gen = getattr(self, "_ckpt_gen", 0)
         files = []
         for i, (ku, kc) in enumerate(self.host_runs):
-            name = f"ckpt_run{i:04d}.bin"
+            name = f"g{gen:04d}_run{i:04d}.bin"
             write_run_file(os.path.join(ckpt_dir, name), np.asarray(ku),
                            np.asarray(kc))
             files.append(name)
         for p in self.disk_runs:
-            name = f"ckpt_disk_{os.path.basename(p)}"
+            name = f"g{gen:04d}_disk_{os.path.basename(p)}"
             shutil.copyfile(p, os.path.join(ckpt_dir, name))
             files.append(name)
         tmp = os.path.join(ckpt_dir, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"k": self.k, "total_windows": self.total_windows,
-                       "files": files}, f)
+                       "files": files, "gen": gen, "extra": extra or {}}, f)
         os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+        self._ckpt_gen = gen + 1
+        keep = set(files) | {"manifest.json"}
+        for name in os.listdir(ckpt_dir):
+            if name not in keep and name.endswith(".bin"):
+                try:
+                    os.unlink(os.path.join(ckpt_dir, name))
+                except OSError:
+                    pass
+
+    @staticmethod
+    def read_manifest(ckpt_dir: str) -> dict | None:
+        """The checkpoint manifest, or None when ``ckpt_dir`` holds no
+        complete checkpoint (a crash mid-checkpoint leaves no manifest)."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     @classmethod
     def restore(cls, ckpt_dir: str, **kwargs) -> "DeviceCountAccumulator":
@@ -939,6 +969,7 @@ class DeviceCountAccumulator:
         acc.host_runs = [open_run_file(os.path.join(ckpt_dir, name))
                          for name in m["files"]]
         acc.host_runs.sort(key=lambda r: -len(r[0]))  # cascade invariant
+        acc._ckpt_gen = int(m.get("gen", 0)) + 1
         return acc
 
     def _rebalance(self) -> None:

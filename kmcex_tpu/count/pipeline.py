@@ -120,6 +120,8 @@ def count_encode(
     db_path: str | None = None,
     accumulator: str = "device",
     mesh=None,
+    ckpt_dir: str | None = None,
+    ckpt_every: int = 256,
 ) -> tuple[KModel, np.ndarray | None, np.ndarray | None, PipelineStats]:
     """Count + encode with the device->host table pull overlapping the host
     encode (streaming chunks; bit-identical to the two-phase build).
@@ -131,7 +133,17 @@ def count_encode(
     memory).  ``accumulator="sharded"`` runs the hash-routed multi-chip
     accumulator over ``mesh`` (all devices by default) — combined with a
     spawned multi-process runtime (parallel.distributed) this is the
-    multi-host path; in that case only process 0 should pass db_path."""
+    multi-host path; in that case only process 0 should pass db_path.
+
+    ``ckpt_dir`` makes the COUNT phase resumable (the reference has no
+    mid-build persistence, SURVEY.md §5): every ``ckpt_every`` batches the
+    accumulator state plus the stream position land in ``ckpt_dir``
+    (manifest written last — a crash mid-checkpoint is invisible).  On the
+    next call with the same ckpt_dir, input and parameters, counting
+    resumes after the last checkpointed batch; batch segmentation is
+    deterministic, so the resumed model is byte-identical to an
+    uninterrupted run (tested).  The manifest is retired on success.
+    Single-process only (the multi-host path raises)."""
     from kmcex_tpu.utils.timing import Phases, device_trace
 
     ph = Phases()
@@ -150,7 +162,14 @@ def count_encode(
         # pass), thread B copies to device; the main thread only dispatches —
         # parse, h2d and device compute all overlap
         n_reads = n_bases = None
+        ckpt_fp = {"input": str(input_spec), "k": int(k),
+                   "seg_len": int(seg_len), "batch_segs": int(batch_segs),
+                   "accumulator": accumulator, "ci": int(ci), "cs": int(cs)}
         if accumulator == "sharded" and jax.process_count() > 1:
+            if ckpt_dir:
+                raise NotImplementedError(
+                    "ckpt_dir is single-process only; the multi-host "
+                    "stream does not checkpoint its byte-range position")
             # multi-host: each process parses only its byte-range/file
             # slice, stepping the all_to_all in lockstep with the others
             from kmcex_tpu.parallel import distributed
@@ -192,12 +211,44 @@ def count_encode(
                                              batch_segs, packed=True)
                 acc = DeviceCountAccumulator(k)
                 put = jax.device_put
+            # resume: swap in the checkpointed accumulator and skip the
+            # batches it already consumed (segmentation is deterministic)
+            skip = 0
+            if ckpt_dir:
+                m = type(acc).read_manifest(ckpt_dir)
+                if m is not None:
+                    if m.get("extra", {}).get("fingerprint") != ckpt_fp:
+                        raise ValueError(
+                            f"checkpoint in {ckpt_dir} was written for a "
+                            f"different input/parameter set "
+                            f"({m.get('extra', {}).get('fingerprint')}); "
+                            f"delete it to start fresh")
+                    if accumulator == "sharded":
+                        acc = type(acc).restore(mesh, ckpt_dir, packed=True)
+                    else:
+                        acc = type(acc).restore(ckpt_dir)
+                    skip = int(m["extra"]["n_batches"])
+            ckpt_every = int(os.environ.get("KMCEX_CKPT_EVERY", ckpt_every))
+            # fault injection for the resume tests (the reference has no
+            # fault story at all, SURVEY.md §5): crash after N batches
+            crash_after = int(os.environ.get("KMCEX_CRASH_AFTER_BATCHES", 0))
             with ph.phase("stream+extract"):
                 parsed = prefetch_iterator(iter(stream), depth=2)
+                if skip:
+                    base = parsed
+                    parsed = (x for j, x in enumerate(base) if j >= skip)
+                nb = skip
                 for packed, maskbits in prefetch_iterator(
                     parsed, depth=2, transform=put
                 ):
                     acc.add_batch_packed(packed, maskbits)
+                    nb += 1
+                    if ckpt_dir and ckpt_every and nb % ckpt_every == 0:
+                        acc.checkpoint(ckpt_dir, extra={
+                            "fingerprint": ckpt_fp, "n_batches": nb})
+                    if crash_after and nb - skip >= crash_after:
+                        raise RuntimeError(
+                            "injected crash (KMCEX_CRASH_AFTER_BATCHES)")
         # Device Bloom build (model/device_bloom.py): for the single-chip
         # device accumulator the Bloom bank is scattered together ON the
         # device, overlapping the table pull; when the host needs no low
@@ -255,6 +306,13 @@ def count_encode(
         else:
             if writer is not None:
                 writer.close()
+            if ckpt_dir:
+                # retire the manifest: the run completed, a later run with
+                # this dir starts fresh (run files stay until overwritten)
+                try:
+                    os.unlink(os.path.join(ckpt_dir, "manifest.json"))
+                except OSError:
+                    pass
         for name, secs in getattr(km, "encode_phases", {}).items():
             ph.add(f"encode.{name}", secs)
         t_total = time.time() - t0
@@ -290,6 +348,7 @@ def run(params: KParams, save_dir: str | None = None,
         from kmcex_tpu import native
 
         native.set_num_threads(params.t)
+    batch_env = int(os.environ.get("KMCEX_BATCH_SEGS", 0))
     import jax
 
     is_primary = jax.process_index() == 0
@@ -301,6 +360,8 @@ def run(params: KParams, save_dir: str | None = None,
         params.input_file_name, params.k, params.ci, params.cs,
         params.num_hash, params.num_bit,
         keep_pairs=False, db_path=db_path, accumulator=acc_kind,
+        ckpt_dir=getattr(params, "ckpt_dir", "") or None,
+        **({"batch_segs": batch_env} if batch_env else {}),
     )
     if save_dir is None and params.output_file_name:
         base = pathlib.Path(params.output_file_name).name

@@ -410,7 +410,7 @@ class ShardedCountAccumulator:
             self._spill(u, c)
 
     # -- checkpoint / resume ------------------------------------------------
-    def checkpoint(self, ckpt_dir: str) -> None:
+    def checkpoint(self, ckpt_dir: str, extra: dict | None = None) -> None:
         """Persist the sharded counting state (per-shard run sets) so a
         genome-scale multi-chip count can resume — mirrors
         DeviceCountAccumulator.checkpoint (the reference has no mid-build
@@ -432,16 +432,21 @@ class ShardedCountAccumulator:
         if _jax.process_index() != 0:
             return
         os.makedirs(ckpt_dir, exist_ok=True)
+        # new file generation per checkpoint: a restored accumulator memmaps
+        # the previous generation read-only, so files are never overwritten
+        # in place (SIGBUS); stale generations unlink after the manifest
+        # lands (see DeviceCountAccumulator.checkpoint)
+        gen = getattr(self, "_ckpt_gen", 0)
         shard_files: list[list[str]] = []
         for s in range(self.n):
             files = []
             for i, (ku, kc) in enumerate(self.host_runs[s]):
-                name = f"s{s:03d}_ckpt{i:04d}.bin"
+                name = f"g{gen:04d}_s{s:03d}_run{i:04d}.bin"
                 device_lsm.write_run_file(os.path.join(ckpt_dir, name),
                                           np.asarray(ku), np.asarray(kc))
                 files.append(name)
             for p in self.disk_runs[s]:
-                name = f"s{s:03d}_ckptdisk_{os.path.basename(p)}"
+                name = f"g{gen:04d}_s{s:03d}_disk_{os.path.basename(p)}"
                 shutil.copyfile(p, os.path.join(ckpt_dir, name))
                 files.append(name)
             shard_files.append(files)
@@ -449,9 +454,30 @@ class ShardedCountAccumulator:
         with open(tmp, "w") as f:
             json.dump({"k": self.k, "n_shards": self.n,
                        "seg_rows": self.seg_rows, "seg_len": self.seg_len,
-                       "total_windows": self.total_windows,
-                       "shard_files": shard_files}, f)
+                       "total_windows": self.total_windows, "gen": gen,
+                       "shard_files": shard_files, "extra": extra or {}}, f)
         os.replace(tmp, os.path.join(ckpt_dir, "manifest.json"))
+        self._ckpt_gen = gen + 1
+        keep = {n for fs in shard_files for n in fs} | {"manifest.json"}
+        for name in os.listdir(ckpt_dir):
+            if name not in keep and name.endswith(".bin"):
+                try:
+                    os.unlink(os.path.join(ckpt_dir, name))
+                except OSError:
+                    pass
+
+    @staticmethod
+    def read_manifest(ckpt_dir: str) -> dict | None:
+        """The checkpoint manifest, or None when no complete checkpoint
+        exists (mirrors DeviceCountAccumulator.read_manifest)."""
+        import json
+        import os
+
+        try:
+            with open(os.path.join(ckpt_dir, "manifest.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
 
     @classmethod
     def restore(cls, mesh: Mesh, ckpt_dir: str,
@@ -477,6 +503,7 @@ class ShardedCountAccumulator:
                 device_lsm.open_run_file(os.path.join(ckpt_dir, name))
                 for name in files]
             acc.host_runs[s].sort(key=lambda r: -len(r[0]))
+        acc._ckpt_gen = int(m.get("gen", 0)) + 1
         return acc
 
     def finalize(self, ci: int = 1, cs: int = 0xFFFFFFFF):

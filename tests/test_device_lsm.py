@@ -1,5 +1,7 @@
 """Device-side LSM accumulator must match the host accumulator exactly."""
 
+import re
+
 import numpy as np
 
 from kmcex_tpu.core import codec
@@ -341,7 +343,7 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(pk, w5k)
     np.testing.assert_array_equal(pc, w5c)
     assert (ck / "manifest.json").exists()
-    assert any(f.name.startswith("ckpt_run") for f in ck.iterdir())
+    assert any(re.match(r"g\d+_run", f.name) for f in ck.iterdir())
 
     # the original accumulator stays valid after checkpointing too
     for b in batches[5:]:
