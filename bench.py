@@ -201,12 +201,12 @@ def main() -> None:
 
             qd = _jax.device_put(q[: dm.TILE])
             _jax.block_until_ready(qd)
-            o, amb = dm._main(qd)
+            o, amb, _ = dm._main(qd)
             np.asarray(o[:8])
             reps = 8
             t0 = time.time()
             outs = [dm._main(qd) for _ in range(reps)]
-            for o, amb in outs:
+            for o, amb, _ in outs:
                 np.asarray(o[:8])  # force full execution
             t_main = (time.time() - t0) / reps
             compute_mqs = dm.TILE / t_main / 1e6
@@ -214,28 +214,41 @@ def main() -> None:
                 f"input): {compute_mqs:.2f} Mqueries/s (pinned best "
                 f"{pin_best('device_query_compute_mqs', compute_mqs):.2f})")
 
-            # gather roofline: the query path costs ~65 random gathers per
-            # query; this measures PURE random gathers over a model-sized
-            # u16 table, so (compute-only / roofline) says how close the
-            # full decision tree runs to hardware speed-of-light.
+            # gather roofline: pure random gathers matching the query
+            # path's ACTUAL probe inventory on the gated program —
+            # 35*3/4 u16 (3/4-tile find_bitarray) + 16 u8 (bloom bank +
+            # km_back) + 2 u64 + 2 i32 (cuckoo rest) per query — so
+            # (compute-only / roofline) says how close the full decision
+            # tree runs to hardware speed-of-light.  The old 65-identical-
+            # u16-gather roofline overstated the ceiling: u64 table
+            # gathers measure ~2x a u16 gather on this chip.
             import jax.numpy as _jnp
 
-            tab_elems = max(1, km.total_model_bytes() // 2)
-            tab = _jax.device_put(_jnp.zeros(tab_elems, _jnp.uint16))
-            gi = _jax.device_put(_jnp.asarray(
-                rng.integers(0, tab_elems, size=(dm.TILE, 65)),
-                dtype=_jnp.int32))
-            gf = _jax.jit(lambda i: _jnp.sum(tab[i].astype(_jnp.uint32)))
-            _jax.block_until_ready(gf(gi))
-            t0 = time.time()
-            for _ in range(reps):
-                o = gf(gi)
-            _jax.block_until_ready(o)
-            t_g = (time.time() - t0) / reps
-            log(f"pure-gather roofline (65 gathers/query, "
-                f"{2 * tab_elems >> 20}MB table): "
-                f"{dm.TILE / t_g / 1e6:.2f} Mqueries/s "
-                f"({t_g / dm.TILE / 65 * 1e9:.1f} ns/gather); "
+            def _gather_time(dtype, n_per_q, elems, lanes=None):
+                lanes = lanes if lanes is not None else dm.TILE
+                tab_ = _jax.device_put(_jnp.zeros(max(elems, 8), dtype))
+                gi_ = _jax.device_put(_jnp.asarray(
+                    rng.integers(0, max(elems, 8),
+                                 size=(lanes, n_per_q)), dtype=_jnp.int32))
+                gf_ = _jax.jit(
+                    lambda i: _jnp.sum(tab_[i].astype(_jnp.uint32)))
+                _jax.block_until_ready(gf_(gi_))
+                t0_ = time.time()
+                for _ in range(reps):
+                    o_ = gf_(gi_)
+                _jax.block_until_ready(o_)
+                return (time.time() - t0_) / reps
+
+            bit12_elems = NB * km.km_byte_size
+            bf_bytes = int(km.bloom.byte_bf.sum()
+                           + km.bloom.byte_bf_back.sum()) + km.byte_km_back
+            t_g = (_gather_time(_jnp.uint16, NB * NH, bit12_elems,
+                                lanes=(3 * dm.TILE) // 4)
+                   + _gather_time(_jnp.uint8, 2 * NH + 2, max(bf_bytes, 8))
+                   + _gather_time(_jnp.uint64, 2, 1 << 22)
+                   + _gather_time(_jnp.int32, 2, 1 << 22))
+            log(f"composite gather roofline (gated probe inventory): "
+                f"{dm.TILE / t_g / 1e6:.2f} Mqueries/s; "
                 f"query path at {100 * t_g / t_main:.0f}% of roofline")
         except Exception as e:
             log(f"query benchmark skipped: {e}")

@@ -110,10 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         # reference prints human text only, SURVEY.md §5 metrics row)
         import dataclasses
         import json
+        import resource
 
+        peak_rss_mb = resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss // 1024
         with open(stats_path, "w") as f:
             json.dump({**dataclasses.asdict(stats),
-                       "reads_per_s": rate}, f, indent=1)
+                       "reads_per_s": rate,
+                       "peak_rss_mb": peak_rss_mb}, f, indent=1)
     return 0
 
 

@@ -652,6 +652,9 @@ class DeviceCountAccumulator:
         self.total_windows = 0
         # set by finalize_stream when a bloom_factory ran on this table
         self.device_bloom = None
+        # tier-transition telemetry (surfaced via KMCEX_STATS_JSON)
+        self.tier_events = {"raw_collapses": 0, "device_merges": 0,
+                            "host_spills": 0, "disk_spills": 0}
 
     def add_batch(self, codes) -> None:
         n_windows = codes.shape[0] * (codes.shape[1] - self.k + 1)
@@ -709,6 +712,7 @@ class DeviceCountAccumulator:
         return self.tile_runs.pop()
 
     def _collapse_raw(self) -> None:
+        self.tier_events["raw_collapses"] += 1
         if self.tile_mode:
             self._flush_stage()
             if not self.tile_runs:
@@ -745,6 +749,7 @@ class DeviceCountAccumulator:
             self._rebalance()
 
     def _merge_top2(self) -> None:
+        self.tier_events["device_merges"] += 1
         kb, cb, sb = self.runs.pop()
         ka, ca, sa = self.runs.pop()
         u, c, nu = _merge_runs_kernel(ka, ca, kb, cb)
@@ -768,6 +773,7 @@ class DeviceCountAccumulator:
         ku, kc = ku[real], kc[real]
         if not len(ku):
             return
+        self.tier_events["host_spills"] += 1
         self.host_runs.append((ku, kc))
         from kmcex_tpu import native
 
@@ -790,6 +796,7 @@ class DeviceCountAccumulator:
             self._write_disk_run(*self.host_runs.pop(0))
 
     def _write_disk_run(self, ku: np.ndarray, kc: np.ndarray) -> None:
+        self.tier_events["disk_spills"] += 1
         import os
         import tempfile
 

@@ -31,6 +31,9 @@ class PipelineStats:
     count_seconds: float = 0.0
     encode_seconds: float = 0.0
     phases: dict = dataclasses.field(default_factory=dict)
+    # tier-transition counts from the counting accumulator (raw collapses,
+    # device merges, host/disk spills) — scale-run observability
+    tiers: dict = dataclasses.field(default_factory=dict)
 
 
 def count_fastq(
@@ -328,6 +331,7 @@ def count_encode(
         count_seconds=t_count,
         encode_seconds=t_total - t_count,
         phases=dict(ph.seconds),
+        tiers=dict(getattr(acc, "tier_events", {})),
     )
     return km, kmers, counts, stats
 

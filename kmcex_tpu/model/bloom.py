@@ -8,21 +8,24 @@ filter over the middle (k-2)-mer (nh-2 hashes, ``(count>>3)*(nh-2)`` bytes).
 Membership requires both.  When ci>1 the probe order is pairs {1,0,2}, i.e.
 counts ci+1, ci, ci+2 (kmodel.hpp:246,361-371).
 
-Insertion is a commutative scatter-OR — order-free, so it can run batched
-(native C++ here; the device query path gathers from the same byte arrays).
+Insertion is a commutative scatter-OR — order-free, so it can run batched.
+Two implementations produce bit-identical filters:
 
-Negative result (round 4): building the filters ON DEVICE was analyzed and
-rejected.  The murmur positions are cheap to compute on device, but
-materializing the dense bitmap from them needs either a scatter (TPU XLA
-serializes scatters — 1.3M-96M single-bit writes), a per-output-bit
-membership searchsorted (~27 random gathers per output bit, seconds at
-genome scale), or a sorted-positions -> bitmap EXPAND kernel, whose
-log-shift formulation is NOT collision-free (expansion displacements jump
-arbitrarily per slot, unlike compaction's <=1-hole-per-slot bound, see
-count/compact_pallas.py).  Pulling positions instead of bytes moves
-100-400MB.  Meanwhile the host insert is memory-latency bound, prefetch
-pipelined, and fully overlapped behind the array feed (kmodel.init_from_
-chunks worker thread), so the device build would save ~0.1s at best.
+  * native C++ host insert (this module) — used when the table streams
+    through the host anyway (KMC DB input, host/disk-tier finalize,
+    keep_pairs/db-spool runs);
+  * the DEVICE build (model/device_bloom.py) — the default on the
+    single-device count path: probe positions scatter-set into a device
+    bitmap and only finished filter bytes cross the link.
+
+Round-4's note here rejected the device build on the assumption that "TPU
+XLA serializes scatters"; round-5 measurement (tools/exp_device_bf.py)
+showed an XLA `.at[pos].set(1)` scatter into a one-byte-per-bit bitmap
+runs at ~113M positions/s — memory-latency bound like a gather, NOT
+serialized — which flipped the verdict: the device build removes the
+bloom insert from the host entirely and (on the model-only path) keeps
+~80% of a realistic-spectrum table from ever crossing the ~33MB/s host
+link.
 """
 
 from __future__ import annotations

@@ -31,6 +31,60 @@ from kmcex_tpu.model.kmodel import KModel
 
 _U64 = jnp.uint64
 
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)  # no canonical k-mer is all-ones
+
+
+def _cuckoo_hashes(keys: np.ndarray, m1: int, m2: int, bits: int):
+    with np.errstate(over="ignore"):
+        h1 = (keys * np.uint64(m1)) >> np.uint64(64 - bits)
+        h2 = (keys * np.uint64(m2)) >> np.uint64(64 - bits)
+    return h1.astype(np.int64), h2.astype(np.int64)
+
+
+def _build_cuckoo(keys: np.ndarray, vals: np.ndarray, seed: int = 0):
+    """Two-table cuckoo hash of an exact (u64 key -> i32 value) map.
+
+    The device rest-store lookup was a bucket binary search — ~11 gathers
+    with a SERIAL dependency chain per query (each search step waits on the
+    previous gather).  Cuckoo guarantees each key sits in one of exactly
+    TWO slots, so the lookup is 2 independent key gathers + 2 value
+    gathers, fully pipelined.  Build is vectorized numpy (eviction rounds);
+    load factor <=0.45 converges in a few dozen rounds, else rehash with
+    fresh multipliers."""
+    n = len(keys)
+    bits = max(4, int(np.ceil(np.log2(max(n * 1.1, 8)))))
+    rng = np.random.default_rng(seed)
+    for _attempt in range(16):
+        S = 1 << bits
+        m1 = int(rng.integers(1, 1 << 63)) * 2 + 1
+        m2 = int(rng.integers(1, 1 << 63)) * 2 + 1
+        t_k = [np.full(S, _EMPTY, np.uint64) for _ in range(2)]
+        t_v = [np.zeros(S, np.int32) for _ in range(2)]
+        cur_k, cur_v = keys.copy(), vals.copy()
+        side = 0
+        for _round in range(96):
+            if not len(cur_k):
+                break
+            h1, h2 = _cuckoo_hashes(cur_k, m1, m2, bits)
+            idx = h1 if side == 0 else h2
+            tk, tv = t_k[side], t_v[side]
+            uslots = np.unique(idx)
+            orig_k = tk[uslots].copy()
+            orig_v = tv[uslots].copy()
+            tk[idx] = cur_k
+            tv[idx] = cur_v
+            placed = tk[idx] == cur_k
+            changed = orig_k != tk[uslots]
+            evict = changed & (orig_k != _EMPTY)
+            cur_k = np.concatenate([cur_k[~placed], orig_k[evict]])
+            cur_v = np.concatenate([cur_v[~placed], orig_v[evict]])
+            side ^= 1
+        else:
+            bits += 1  # didn't converge: bigger tables, new multipliers
+            continue
+        return t_k[0], t_v[0], t_k[1], t_v[1], m1, m2, bits
+    raise RuntimeError("cuckoo build failed to converge")
+
 
 def _seed_matrix(n_bits: int, n_hash: int) -> np.ndarray:
     """seeds[i, j] = HashSeeds[(i*n_hash + j) % 128] (kmodel.hpp:450-453)."""
@@ -108,28 +162,52 @@ class DeviceKModel:
         self._n_seeds_m = max(self.bf_back_num_hash, self.km_back_num_hash)
         self._seeds_m = HASH_SEEDS[: self._n_seeds_m].astype(np.uint64)
 
-        # rest store (sorted full k-mers + CSR bounds)
+        # rest store: exact lookups go through a 2-table cuckoo hash (two
+        # independent key gathers replace the old bucket binary search's
+        # serial ~11-gather chain).  The table holds the real entries PLUS
+        # one "phantom" entry per bucket boundary reproducing the
+        # reference's inclusive-high quirk (rest.hpp:236-247: a key above
+        # its whole bucket that equals the NEXT bucket's first suffix hits
+        # with that bucket's count) — so answers stay bit-identical to the
+        # host path, quirk included.
         kld = km.kld
         self.rest_n = kld.suffix_bin_count
         if self.rest_n:
             full = kld._full_kmer_sorted()
-            self.rest_kmers = put(full)
-            self.rest_counts = put(kld.count_bin.astype(np.int32))
-            self.rest_h2i = put(kld.hash2index)
-            self.rest_pre = put(kld.pre_buffer.astype(np.int32))
+            counts = kld.count_bin.astype(np.int32)
             suf_bits = 2 * kld.suf_len
-            self.rest_suf_bits = suf_bits
-            self.rest_suffix = put(kld._ensure_suffix_int())
-            # binary-search step count for the bucket-local search: buckets
-            # are tiny (CSR by k-mer prefix), so a handful of gather steps
-            # replaces a full-table searchsorted (log2(n) gathers per lane)
-            bucket_max = int(np.max(np.diff(kld.pre_buffer))) if len(kld.pre_buffer) > 1 else 1
-            self.rest_steps = max(1, int(np.ceil(np.log2(bucket_max + 1))))
+            suffix = kld._ensure_suffix_int()
+            pre = kld.pre_buffer.astype(np.int64)
+            p_all = np.flatnonzero(kld.hash2index >= 0).astype(np.uint64)
+            pi = kld.hash2index[p_all.astype(np.int64)]
+            lo = pre[pi]
+            hi = pre[pi + 1]
+            ok = hi < self.rest_n
+            prev_s = suffix[np.maximum(hi - 1, 0)]
+            above = (lo == hi) | (suffix[np.minimum(hi, self.rest_n - 1)]
+                                  > prev_s)
+            pm = ok & above
+            phantom_k = ((p_all[pm] << np.uint64(suf_bits))
+                         | suffix[hi[pm]])
+            phantom_v = counts[hi[pm]]
+            keys = np.concatenate([full, phantom_k])
+            vals = np.concatenate([counts, phantom_v])
+            t1k, t1v, t2k, t2v, m1, m2, bits = _build_cuckoo(keys, vals)
+            self.rest_t1k = put(t1k)
+            self.rest_t1v = put(t1v)
+            self.rest_t2k = put(t2k)
+            self.rest_t2v = put(t2v)
+            self.rest_m1 = np.uint64(m1)
+            self.rest_m2 = np.uint64(m2)
+            self.rest_bits = int(bits)
         # occ decode LUTs
         self.bin2mean = put(km.occu_bin.bin2mean_lut.astype(np.int32))
         self.occ2bin = put(km.occu_bin.occ2bin_lut.astype(np.int32))
 
-        self._main = jax.jit(self._build_main())
+        # gated program (half-tile find_bitarray) serves every tile; the
+        # ungated one compiles lazily, only for rare overflowing tiles
+        self._main = jax.jit(self._build_main(gated=True))
+        self._main_full = jax.jit(self._build_main(gated=False))
         self._resolve = jax.jit(self._build_resolve())
 
     # -- probe primitives ---------------------------------------------------
@@ -237,38 +315,20 @@ class DeviceKModel:
         return jnp.where(ok, bins, -1)
 
     def _check_rest(self, kmers):
-        """Vectorized exact lookup with the reference's inclusive-high quirk
-        (rest.hpp:223-251)."""
+        """Exact lookup via the 2-table cuckoo hash: 2 independent key
+        gathers + 2 value gathers, no serial search chain.  The phantom
+        entries added at build time reproduce the reference's
+        inclusive-high quirk exactly (rest.hpp:223-251; see __init__)."""
         if self.rest_n == 0:
             return jnp.zeros(kmers.shape, dtype=jnp.int32)
-        suf_bits = _U64(self.rest_suf_bits)
-        prefixes = (kmers >> suf_bits).astype(jnp.int32)  # 4^p <= 4^7 slots
-        suffixes = kmers & ((_U64(1) << suf_bits) - _U64(1))
-        pre_idx = self.rest_h2i[prefixes]
-        valid = pre_idx >= 0
-        safe = jnp.maximum(pre_idx, 0).astype(jnp.int32)
-        lo = self.rest_pre[safe].astype(jnp.int32)
-        hi = self.rest_pre[safe + 1].astype(jnp.int32)
-        # bucket-local binary search: the CSR prefix buckets are tiny, so a
-        # fixed handful of gather steps replaces the full-table searchsorted
-        lo_i, hi_i = lo, hi
-        for _ in range(self.rest_steps):
-            active = lo_i < hi_i
-            mid = (lo_i + hi_i) >> 1
-            mv = self.rest_kmers[jnp.minimum(mid, self.rest_n - 1)]
-            go_right = active & (mv < kmers)
-            lo_i = jnp.where(go_right, mid + 1, lo_i)
-            hi_i = jnp.where(active & ~go_right, mid, hi_i)
-        pos = lo_i
-        posc = jnp.minimum(pos, self.rest_n - 1)
-        hit = valid & (pos < hi) & (self.rest_kmers[posc] == kmers)
-        out = jnp.where(hit, self.rest_counts[posc], 0)
-        # inclusive-high quirk: key past bucket end matching next bucket's
-        # first suffix
-        nb_ok = valid & ~hit & (hi < self.rest_n) & (pos >= hi)
-        hic = jnp.minimum(hi, self.rest_n - 1)
-        nb_hit = nb_ok & (self.rest_suffix[hic] == suffixes)
-        return jnp.where(nb_hit, self.rest_counts[hic], out).astype(jnp.int32)
+        sh = _U64(64 - self.rest_bits)
+        i1 = ((kmers * _U64(self.rest_m1)) >> sh).astype(jnp.int32)
+        i2 = ((kmers * _U64(self.rest_m2)) >> sh).astype(jnp.int32)
+        hit1 = self.rest_t1k[i1] == kmers
+        hit2 = self.rest_t2k[i2] == kmers
+        return jnp.where(
+            hit1, self.rest_t1v[i1],
+            jnp.where(hit2, self.rest_t2v[i2], 0)).astype(jnp.int32)
 
     # -- the full decision tree --------------------------------------------
     def _neighbor_candidates(self, kmers):
@@ -309,12 +369,13 @@ class DeviceKModel:
         mean = self.bin2mean[jnp.clip(bin_val, 0, self.bin2mean.shape[0] - 1)]
         return jnp.where(bin_val < self.bin_end_index1, bin_val, mean)
 
-    def _build_main(self):
+    def _build_main(self, gated: bool = True):
         """Phase 1 (runs for every query): everything except the 8-neighbor
         disambiguation.  Returns the final answer where it is determined plus
         the inputs phase 2 needs for the (rare) ambiguous queries — on TPU
         masked lanes still pay full cost, so the 9x-heavier candidate pass
-        must not run for the whole batch."""
+        must not run for the whole batch.  ``gated`` selects the half-tile
+        find_bitarray variant (see below)."""
 
         def main(kmers: jnp.ndarray):
             kmers = codec.canonical_jnp(kmers.astype(_U64), self.k)
@@ -323,13 +384,50 @@ class DeviceKModel:
             is_back = self._check_back(kmers, h_m)
             bf_occ = self._check_all_bf(kmers, h_k, h_m)
 
-            B = self._find_bitarray(kmers, h_k)  # [N, nb]
-            pos_mask = B > 0
-            nbin = jnp.sum(pos_mask, axis=-1)
-            first_idx = jnp.argmax(pos_mask, axis=-1)
-            first_bin = jnp.where(
-                nbin > 0, jnp.take_along_axis(B, first_idx[..., None], -1)[..., 0], 0
-            )
+            # find_bitarray is the query's largest gather block (nb*nh per
+            # lane), but its result only matters for lanes the decision
+            # tree routes to the coupled arrays: in back-filter AND not in
+            # the exact store (kmodel.hpp:104-113) — and downstream only
+            # (nbin, first_bin) are consumed (phase 2 re-probes the rare
+            # ambiguous lanes itself).  The gated program probes a
+            # COMPACTED 3/4 tile unconditionally — hashes recomputed for
+            # the selected lanes (compute is ~free; gathers are the cost) —
+            # and reports `overflow` when more lanes needed probing; the
+            # HOST then re-dispatches that tile through the ungated
+            # program (and stops gating for the rest of the batch).  An
+            # in-program lax.cond was measured to cost ~7ms/tile: it is a
+            # scheduling barrier that kills the cross-stage gather overlap
+            # XLA otherwise finds.  3/4 (not 1/2) because the saturated
+            # km_back filter is format-pinned at ~86% fill (the
+            # reference's own sizing), so ~half of even random queries
+            # pass it — need fractions sit near 0.5 on mixed workloads
+            # and above it on resident-heavy ones.
+            need_fb = is_back & (rest_occ == 0)
+            N = kmers.shape[0]
+            M = max(1, (3 * N) // 4)
+
+            def fb_stats(ks, h):
+                B = self._find_bitarray(ks, h)
+                pos_mask = B > 0
+                nbin = jnp.sum(pos_mask, axis=-1)
+                first_idx = jnp.argmax(pos_mask, axis=-1)
+                first_bin = jnp.where(
+                    nbin > 0,
+                    jnp.take_along_axis(B, first_idx[..., None], -1)[..., 0],
+                    0)
+                return nbin.astype(jnp.int32), first_bin.astype(jnp.int32)
+
+            if gated and N > 1:
+                sel = jnp.argsort(jnp.where(need_fb, 0, 1)
+                                  .astype(jnp.int32))[:M]
+                nb_h, fb_h = fb_stats(kmers[sel], None)
+                zero = jnp.zeros(N, jnp.int32)
+                nbin = zero.at[sel].set(nb_h, unique_indices=True)
+                first_bin = zero.at[sel].set(fb_h, unique_indices=True)
+                overflow = jnp.sum(need_fb) > M
+            else:
+                nbin, first_bin = fb_stats(kmers, h_k)
+                overflow = jnp.bool_(False)
 
             # kmer_to_bin without candidates (kmodel.hpp:286-302):
             # len==0 -> occ; len==1 & occ==0 -> first_bin; rest = ambiguous.
@@ -350,10 +448,10 @@ class DeviceKModel:
                 & is_back
                 & (((nbin == 1) & (bf_occ != 0)) | (nbin >= 2))
             )
-            # Only (out, ambiguous) cross the device->host link (the link is
-            # the end-to-end bottleneck); phase 2 recomputes B/bf_occ on
-            # device for the few ambiguous survivors.
-            return out, ambiguous
+            # Only (out, ambiguous, overflow) cross the device->host link
+            # (the link is the end-to-end bottleneck); phase 2 recomputes
+            # probe state on device for the few ambiguous survivors.
+            return out, ambiguous, overflow
 
         return main
 
@@ -426,6 +524,7 @@ class DeviceKModel:
 
         out = np.zeros(n, dtype=np.int32)
         amb_idx: list[np.ndarray] = []
+        gate_on = True
         starts = list(range(0, n, tile))
         for g in range(0, len(starts), self.GROUP):
             group = starts[g : g + self.GROUP]
@@ -443,15 +542,26 @@ class DeviceKModel:
                 (a, nc, jax.device_put(c, self._in_sharding))
                 for a, nc, c in chunks
             ]
-            # stage 2: all dispatches + async downloads
+            # stage 2: all dispatches + async downloads.  Once a tile of
+            # this batch overflowed the gate, later tiles dispatch through
+            # the ungated program directly (workloads are homogeneous
+            # within a batch; re-dispatching every tile would double work).
             pending = []
             for a, nc, c in dev:
-                o, amb = self._main(c)
+                if gate_on:
+                    o, amb, ovf = self._main(c)
+                else:
+                    o, amb, ovf = self._main_full(c)
                 o.copy_to_host_async()
                 amb.copy_to_host_async()
-                pending.append((a, nc, o, amb))
-            # stage 3: harvest
-            for a, nc, o, amb in pending:
+                ovf.copy_to_host_async()
+                pending.append((a, nc, c, o, amb, ovf))
+            # stage 3: harvest; a tile where >3/4 of the lanes needed the
+            # coupled-array probe re-dispatches through the ungated program
+            for a, nc, c, o, amb, ovf in pending:
+                if bool(np.asarray(ovf)):
+                    gate_on = False
+                    o, amb, _ = self._main_full(c)
                 out[a : a + nc] = np.asarray(o)[:nc]
                 ai = np.flatnonzero(np.asarray(amb)[:nc])
                 if len(ai):

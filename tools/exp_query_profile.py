@@ -6,9 +6,13 @@ differences localize the compute gap between the full decision tree
 TPU tunnel).
 """
 
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +25,15 @@ K, NH, NB, CI, CS = 31, 7, 5, 1, 1023
 
 
 def build_model(n=3_400_000, seed=0):
+    if len(sys.argv) > 1:  # profile against a real workload's model
+        from kmcex_tpu.count.pipeline import count_encode
+
+        km, kmers, counts, _ = count_encode(sys.argv[1], k=K, ci=CI, cs=CS,
+                                            num_hash=NH, num_bit=NB)
+        print(f"model from {sys.argv[1]}: {len(kmers)} distinct, "
+              f"{km.kld.suffix_bin_count} rest entries, "
+              f"bf={int(km.bloom.kmer_counts.sum())}", flush=True)
+        return km, kmers
     rng = np.random.default_rng(seed)
     kmers = np.unique(codec.canonical_np(
         rng.integers(0, 1 << 62, size=n, dtype=np.uint64), K))
@@ -28,6 +41,9 @@ def build_model(n=3_400_000, seed=0):
         rng.geometric(0.3, size=len(kmers)).astype(np.uint32), CS)
     km = get_model(CI, CS, NH, NB)
     km.init_from_pairs(kmers, counts, K)
+    print(f"synthetic model: {len(kmers)} distinct, "
+          f"{km.kld.suffix_bin_count} rest entries, "
+          f"bf={int(km.bloom.kmer_counts.sum())}", flush=True)
     return km, kmers
 
 
@@ -89,10 +105,14 @@ def main():
     stages["+hash+find_bitarray"] = timeit(jax.jit(pre_fb), qd)
 
     def full(ks):
-        o, amb = dm._main(ks)
-        return o
+        return dm._main(ks)[0]
 
     stages["full_main"] = timeit(full, qd)
+
+    def full_ungated(ks):
+        return dm._main_full(ks)[0]
+
+    stages["full_main_ungated"] = timeit(full_ungated, qd)
 
     for name, t in stages.items():
         print(f"{name:>22s}: {t*1e3:7.2f} ms  "
