@@ -624,7 +624,10 @@ class DeviceCountAccumulator:
         self.raw_tier_elems = (raw_tier_elems
                                or int(_os.environ.get("KMCEX_RAW_TIER_ELEMS", 0))
                                or self.RAW_TIER_ELEMS)
-        self.spill_threshold = spill_threshold or self.SPILL_THRESHOLD
+        self.spill_threshold = (spill_threshold
+                                or int(_os.environ.get(
+                                    "KMCEX_SPILL_THRESHOLD", 0))
+                                or self.SPILL_THRESHOLD)
         if disk_spill_bytes is None:
             disk_spill_bytes = int(_os.environ.get(
                 "KMCEX_DISK_SPILL_BYTES", self.DISK_SPILL_BYTES))
@@ -1197,7 +1200,12 @@ class DeviceCountAccumulator:
         bloom feed scatters run behind them on the device stream,
         overlapping the host-side decode/encode.  Sets ``self.device_bloom``
         to the builder (None when no build ran)."""
-        flat = np.asarray(flat)
+        import time as _time
+
+        fin = self.finalize_phases = {}
+        t = _time.time()
+        flat = np.asarray(flat)  # blocks on last merge + compact + stats
+        fin["stats_wait"] = _time.time() - t
         total = int(flat[0])
         hist = flat[1:4].astype(np.int64)
         n_real = int(flat[4])
@@ -1208,15 +1216,22 @@ class DeviceCountAccumulator:
             except ValueError:  # bitmap too large: host build fallback
                 builder = None
         bf_num = 1 if ci == 1 else 3
+        t = _time.time()
         if builder is not None and drop_low:
             n_rows = _row_count(int(u.shape[0]))
             u2, c2, flat2 = _drop_below(u, c, jnp.uint32(ci + bf_num), n_rows)
-            meta = self._pack_run(u2, c2, ci, cs, np.asarray(flat2))
+            flat2 = np.asarray(flat2)
+            fin["drop_low"] = _time.time() - t
+            t = _time.time()
+            meta = self._pack_run(u2, c2, ci, cs, flat2)
         else:
             meta = self._pack_run(u, c, ci, cs, flat)
+        fin["pack_dispatch"] = _time.time() - t
         if builder is not None:
+            t = _time.time()
             builder.feed_table(u, c, n_real)
             builder.start_pull()
+            fin["bloom_feed_dispatch"] = _time.time() - t
         self.device_bloom = builder
         if meta is None or total == 0:
             return total, hist, iter(())

@@ -260,18 +260,28 @@ def count_encode(
         # ~80% of the table staying on device, with only the ~5x-smaller
         # finished filter bytes crossing the link.
         fin_kwargs = {}
-        if (accumulator == "device"
-                and os.environ.get("KMCEX_DEVICE_BLOOM", "1") != "0"):
-            from kmcex_tpu.model.device_bloom import DeviceBloomBuilder
+        if os.environ.get("KMCEX_DEVICE_BLOOM", "1") != "0":
+            if accumulator == "device":
+                from kmcex_tpu.model.device_bloom import DeviceBloomBuilder
 
-            fin_kwargs = dict(
-                bloom_factory=lambda hist: DeviceBloomBuilder(
-                    k, ci, num_hash, hist),
-                drop_low=(not keep_pairs) and db_path is None,
-            )
+                fin_kwargs = dict(
+                    bloom_factory=lambda hist: DeviceBloomBuilder(
+                        k, ci, num_hash, hist),
+                    drop_low=(not keep_pairs) and db_path is None,
+                )
+            elif accumulator == "sharded":
+                from kmcex_tpu.model.device_bloom import (
+                    ShardedDeviceBloomBuilder,
+                )
+
+                fin_kwargs = dict(
+                    bloom_factory=lambda hist: ShardedDeviceBloomBuilder(
+                        mesh, k, ci, num_hash, hist))
         with ph.phase("merge+stats"):
             total, low_hist, chunks = acc.finalize_stream(ci, cs,
                                                           **fin_kwargs)
+        for name, secs in getattr(acc, "finalize_phases", {}).items():
+            ph.add(f"finalize.{name}", secs)
         bloom_builder = getattr(acc, "device_bloom", None)
         # a producer thread owns the device->host pulls, the delta decode AND
         # the per-chunk counter routing (model.kmodel.split_chunk) so the

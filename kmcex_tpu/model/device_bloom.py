@@ -41,13 +41,10 @@ TILE = 1 << 21
 MAX_BITMAP_BYTES = 4 << 30
 
 
-@functools.lru_cache(maxsize=None)
-def _feed_program(k: int, ci: int, bf_num: int, n_hash: int):
-    """Build the jitted per-tile feed: (u, c, t, lens, offs, bitmap) ->
-    bitmap with this tile's probe bits set.  ``lens``/``offs`` are u64
-    vectors of the 2*bf_num table bit-lengths and bitmap offsets (traced,
-    so the program is reused across datasets)."""
-    import jax
+def _tile_positions(ut, ct, lens, offs, cap, k: int, ci: int, bf_num: int,
+                    n_hash: int):
+    """Flat probe-bit positions for one tile of (kmer, count) rows; masked
+    lanes map to ``cap`` (callers scatter with mode="drop")."""
     import jax.numpy as jnp
 
     from kmcex_tpu.core import codec
@@ -58,36 +55,116 @@ def _feed_program(k: int, ci: int, bf_num: int, n_hash: int):
     )
     from kmcex_tpu.count.device_lsm import SENTINEL
 
-    n_main = n_hash - 1
-    n_back = n_hash - 2
-    seeds_main = HASH_SEEDS[:n_main]
-    seeds_back = HASH_SEEDS[:n_back]
+    real = ut != SENTINEL
+    ascii_k = codec.ascii_bytes_jnp(ut, k)
+    bl, tl = murmur_pre_jnp(ascii_k)
+    h_main = murmur_eval_jnp(bl, tl, k, HASH_SEEDS[: n_hash - 1])
+    ascii_m = codec.ascii_bytes_jnp(codec.middle_kmer_jnp(ut, k), k - 2)
+    blm, tlm = murmur_pre_jnp(ascii_m)
+    h_back = murmur_eval_jnp(blm, tlm, k - 2, HASH_SEEDS[: n_hash - 2])
+
+    dump = jnp.uint64(cap)  # mode="drop" swallows masked lanes
+    pos_parts = []
+    for i in range(bf_num):
+        low = real & (ct == np.uint32(ci + i))
+        pm = offs[2 * i] + h_main % lens[2 * i]
+        pb = offs[2 * i + 1] + h_back % lens[2 * i + 1]
+        pos_parts.append(jnp.where(low[:, None], pm, dump))
+        pos_parts.append(jnp.where(low[:, None], pb, dump))
+    return jnp.concatenate(pos_parts, axis=1).reshape(-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _feed_program(k: int, ci: int, bf_num: int, n_hash: int):
+    """Build the jitted per-tile feed: (u, c, t, lens, offs, bitmap) ->
+    bitmap with this tile's probe bits set.  ``lens``/``offs`` are u64
+    vectors of the 2*bf_num table bit-lengths and bitmap offsets (traced,
+    so the program is reused across datasets)."""
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def feed(u, c, t, lens, offs, bitmap):
         ut = jax.lax.dynamic_slice(u, (t * TILE,), (TILE,))
         ct = jax.lax.dynamic_slice(c, (t * TILE,), (TILE,))
-        real = ut != SENTINEL
-        ascii_k = codec.ascii_bytes_jnp(ut, k)
-        bl, tl = murmur_pre_jnp(ascii_k)
-        h_main = murmur_eval_jnp(bl, tl, k, seeds_main)  # [T, nh-1]
-        ascii_m = codec.ascii_bytes_jnp(codec.middle_kmer_jnp(ut, k), k - 2)
-        blm, tlm = murmur_pre_jnp(ascii_m)
-        h_back = murmur_eval_jnp(blm, tlm, k - 2, seeds_back)  # [T, nh-2]
-
-        cap = bitmap.shape[0]
-        dump = jnp.uint64(cap)  # mode="drop" swallows masked lanes
-        pos_parts = []
-        for i in range(bf_num):
-            low = real & (ct == np.uint32(ci + i))
-            pm = offs[2 * i] + h_main % lens[2 * i]
-            pb = offs[2 * i + 1] + h_back % lens[2 * i + 1]
-            pos_parts.append(jnp.where(low[:, None], pm, dump))
-            pos_parts.append(jnp.where(low[:, None], pb, dump))
-        pos = jnp.concatenate(pos_parts, axis=1).reshape(-1)
+        pos = _tile_positions(ut, ct, lens, offs, bitmap.shape[0],
+                              k, ci, bf_num, n_hash)
         return bitmap.at[pos].set(jnp.uint8(1), mode="drop")
 
     return feed
+
+
+def _pack_bytes(bm):
+    """bits u8[cap] -> bytes u8[cap//8], MSB-first within each byte
+    (reference set_bit/check_bit layout, kmodel.hpp:576-588)."""
+    import jax.numpy as jnp
+
+    g = bm.reshape(-1, 8)
+    out = jnp.zeros(g.shape[0], jnp.uint8)
+    for j in range(8):
+        out = out | (g[:, j] << np.uint8(7 - j))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_feed_program(mesh, k: int, ci: int, bf_num: int, n_hash: int):
+    """shard_map feed over a hash-sharded table: each shard scatters its
+    own disjoint keys' probe bits into a local bitmap, an OR-collective
+    (an OR-collective (min(psum,1)) over the shard axis) combines them, and the byte pack runs in
+    the same program — one dispatch returns the replicated finished
+    filter bytes.  This is the 'atomic-OR is ideal for collectives'
+    pattern from SURVEY.md §5 made literal: the Bloom side of the encode
+    scales with the mesh while the order-dependent coupled-array side
+    stays on the host."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def local(u_l, c_l, lens, offs, bitmap):
+        u = u_l[0]
+        c = c_l[0]
+        bm = bitmap
+        cap = bm.shape[0]
+        S = u.shape[0]
+        for a in range(0, S, TILE):
+            pos = _tile_positions(u[a : a + TILE], c[a : a + TILE],
+                                  lens, offs, cap, k, ci, bf_num, n_hash)
+            bm = bm.at[pos].set(jnp.uint8(1), mode="drop")
+        # OR across shards as min(psum, 1): the axon TPU compile helper
+        # lowers only Sum all-reduces (pmax fails on real hardware).  u8
+        # psum of 0/1 bitmaps is exact below 256 shards (asserted at
+        # builder construction).
+        bm = jnp.minimum(jax.lax.psum(bm, "shard"), jnp.uint8(1))
+        return _pack_bytes(bm)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("shard"), P("shard"), P(), P(), P()),
+        out_specs=P(), check_vma=False))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_low_hist_program(mesh):
+    """psum of the low-counter histogram over the shard axis (the global
+    pass-1 sizing numbers, computed without draining the table)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from kmcex_tpu.count.device_lsm import SENTINEL
+
+    def local(u_l, c_l, ci_):
+        u = u_l[0]
+        c = c_l[0]
+        real = u != SENTINEL
+        h = jnp.stack([
+            jnp.sum(real & (c == ci_ + np.uint32(i)), dtype=jnp.int64)
+            for i in range(3)])
+        return jax.lax.psum(h, "shard")
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P("shard"), P("shard"), P()),
+        out_specs=P(), check_vma=False))
 
 
 @functools.lru_cache(maxsize=None)
@@ -194,3 +271,36 @@ class DeviceBloomBuilder:
                 assert len(arr) == nbytes, "bank sized from different hist"
                 arr[:] = data[off : off + nbytes]
                 off += nbytes
+
+
+class ShardedDeviceBloomBuilder(DeviceBloomBuilder):
+    """Bloom bank built across the device MESH: each shard scatters its
+    disjoint partition's probe bits locally, an OR-collective (min(psum,1)) over the shard axis ORs
+    the bitmaps, and the finished bytes come back replicated — the
+    commutative half of the encode scaling with the mesh (SURVEY.md §5).
+    Feed with the per-shard merged run ([n_shards, S] sharded arrays)
+    BEFORE the table drains to the host."""
+
+    def __init__(self, mesh, k: int, ci: int, n_hash: int, low_hist):
+        super().__init__(k, ci, n_hash, low_hist)
+        if mesh.devices.size > 255:
+            # the OR-collective is a u8 psum of 0/1 bitmaps (see
+            # _sharded_feed_program); 256+ shards could wrap
+            raise ValueError("sharded bloom build supports <=255 shards")
+        self.mesh = mesh
+
+    def feed_table_sharded(self, u, c) -> None:
+        prog = _sharded_feed_program(self.mesh, self.k, self.ci,
+                                     self.bf_num, self.n_hash)
+        data = prog(u, c, self._lens, self._offs,
+                    self._bitmap)[: self.total_bytes]
+        data.copy_to_host_async()
+        self._pulled = data  # start_pull() becomes a no-op
+
+    @staticmethod
+    def global_low_hist(mesh, u, c, ci: int) -> np.ndarray:
+        """Global pass-1 histogram (counter == ci+i) of a sharded table."""
+        import jax.numpy as jnp
+
+        return np.asarray(
+            _sharded_low_hist_program(mesh)(u, c, jnp.uint32(ci)))

@@ -17,6 +17,14 @@ fit on one chip (KMC's external-memory bins, rebuilt for a mesh).
 Runs identically on a real TPU slice or on a virtual
 ``--xla_force_host_platform_device_count`` CPU mesh (how tests and the
 driver's multi-chip dry run validate it).
+
+Real-hardware notes (found by driving the CLI on the actual chip; the CPU
+mesh cannot see either): every ``shard_map`` here passes
+``check_vma=False`` because the Pallas sort/merge kernels inside the
+per-shard locals don't annotate varying-mesh-axes on their outputs, and
+all cross-shard reductions are SUMS (psum) — the axon TPU compile helper
+lowers only Sum all-reduces, so pmax/pmin must be expressed via psum
+(e.g. the Bloom bitmap OR is min(psum, 1)).
 """
 
 from __future__ import annotations
@@ -79,8 +87,11 @@ def _route_local(kmers, n_valid, n: int, cap: int):
     dropped = jax.lax.psum(
         jnp.sum(jnp.maximum(group_size - cap, 0), dtype=jnp.int64), "shard")
     recv = jax.lax.all_to_all(send, "shard", split_axis=0, concat_axis=0, tiled=True)
-    # replicated max-over-shards real count (pmax so every process can read it)
-    n_real = jax.lax.pmax(
+    # replicated TOTAL real count (diagnostics).  psum, not pmax: the axon
+    # TPU compile helper lowers only Sum all-reduces ("Supported lowering
+    # only of Sum all reduce"), and pmax here broke the -accsharded CLI on
+    # real hardware while every CPU-mesh test passed.
+    n_real = jax.lax.psum(
         jnp.sum(recv != extract.SENTINEL, dtype=jnp.int64), "shard")
     windows = jax.lax.psum(n_valid, "shard")
     return recv.reshape(1, -1), windows, dropped, n_real
@@ -128,7 +139,8 @@ def build_route_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
         in_specs = P("shard")
     return jax.jit(
         jax.shard_map(local_step, mesh=mesh, in_specs=in_specs,
-                      out_specs=(P("shard"), P(), P(), P()))
+                      out_specs=(P("shard"), P(), P(), P()),
+                      check_vma=False)
     )
 
 
@@ -143,7 +155,8 @@ def build_sharded_collapse(mesh: Mesh):
 
     return jax.jit(
         jax.shard_map(local, mesh=mesh, in_specs=(P("shard"),),
-                      out_specs=(P("shard"), P("shard"), P("shard")))
+                      out_specs=(P("shard"), P("shard"), P("shard")),
+                      check_vma=False)
     )
 
 
@@ -162,6 +175,7 @@ def build_sharded_merge(mesh: Mesh):
             local, mesh=mesh,
             in_specs=(P("shard"), P("shard"), P("shard"), P("shard")),
             out_specs=(P("shard"), P("shard"), P("shard")),
+            check_vma=False,
         )
     )
 
@@ -186,6 +200,7 @@ def build_sharded_count_step(mesh: Mesh, k: int, seg_rows: int, seg_len: int,
         jax.shard_map(
             local_step, mesh=mesh, in_specs=P("shard"),
             out_specs=(P("shard"), P("shard"), P("shard"), P()),
+            check_vma=False,
         )
     )
 
@@ -255,6 +270,8 @@ class ShardedCountAccumulator:
             [] for _ in range(self.n)]
         self.disk_runs: list[list[str]] = [[] for _ in range(self.n)]
         self.total_windows = 0
+        # set by finalize_stream when a bloom_factory ran on the mesh
+        self.device_bloom = None
 
     def _route(self, *args):
         recv, windows, dropped, n_real = self.step(*args)
@@ -518,7 +535,7 @@ class ShardedCountAccumulator:
                 np.concatenate([p[1] for p in parts]))
 
     def finalize_stream(self, ci: int = 1, cs: int = 0xFFFFFFFF,
-                        n_chunks: int = 16):
+                        n_chunks: int = 16, bloom_factory=None):
         """Streaming finalize with the same (total, low_hist, chunk_iter)
         contract as DeviceCountAccumulator.finalize_stream: ascending
         ci-filtered cs-clamped chunks.  ONE k-way merge traversal total
@@ -528,9 +545,36 @@ class ShardedCountAccumulator:
         (n_runs + 1) merge windows; below the disk threshold the
         ci-filtered cs-clamped table itself is retained in RAM alongside
         the source runs (both under the spill budget by construction).
-        ``n_chunks`` is kept for API compatibility."""
+        ``n_chunks`` is kept for API compatibility.
+
+        ``bloom_factory`` (callable(low_hist) ->
+        model.device_bloom.ShardedDeviceBloomBuilder) builds the Bloom
+        bank ACROSS THE MESH before the table drains: each shard scatters
+        its disjoint keys' probe bits, an OR-collective (min(psum,1)) combines the bitmaps, and only finished filter bytes come back — the
+        commutative half of the encode scales with the mesh.  Engages
+        only when no shard has spilled (host/disk runs would be missed);
+        the builder lands on ``self.device_bloom``."""
         from kmcex_tpu.count import device_lsm
 
+        self.device_bloom = None
+        if (bloom_factory is not None and not any(self.host_runs)
+                and not any(self.disk_runs) and (self.raw or self.runs)):
+            self._merge_all_device()
+            if self.runs:
+                u, c, _ = self.runs[0]
+                from kmcex_tpu.model.device_bloom import (
+                    ShardedDeviceBloomBuilder,
+                )
+
+                hist = ShardedDeviceBloomBuilder.global_low_hist(
+                    self.mesh, u, c, ci)
+                try:
+                    builder = bloom_factory(hist)
+                except ValueError:  # bitmap too large: host fallback
+                    builder = None
+                if builder is not None:
+                    builder.feed_table_sharded(u, c)
+                    self.device_bloom = builder
         self._drain_to_host()
         sources = self._run_sources()
         if not sources:

@@ -85,6 +85,59 @@ def test_device_bloom_split_feeds_match():
     np.testing.assert_array_equal(b1.bit_bf_back[0], b2.bit_bf_back[0])
 
 
+def test_sharded_device_bloom_model_identical(tmp_path):
+    """The mesh-built Bloom bank (per-shard scatter + psum OR-collective)
+    must produce a model byte-identical to the host-bloom build."""
+    import os
+
+    from kmcex_tpu.count.pipeline import count_encode
+    from tests.test_byte_ranges import _write_fastq
+
+    fq = tmp_path / "reads.fastq"
+    _write_fastq(fq, n_reads=600, seed=9)
+    k = 19
+
+    os.environ["KMCEX_DEVICE_BLOOM"] = "0"
+    try:
+        km_host, _, _, _ = count_encode(str(fq), k=k,
+                                        accumulator="sharded")
+    finally:
+        os.environ["KMCEX_DEVICE_BLOOM"] = "1"
+    km_mesh, _, _, _ = count_encode(str(fq), k=k, accumulator="sharded")
+
+    d_host = tmp_path / "m_host"
+    d_mesh = tmp_path / "m_mesh"
+    km_host.save(d_host)
+    km_mesh.save(d_mesh)
+    for name in ("header", "km.bin", "rest.bin"):
+        assert (d_host / name).read_bytes() == (d_mesh / name).read_bytes(), name
+
+
+def test_sharded_device_bloom_skipped_when_spilled(tmp_path):
+    """Spilled runs would be missed by the device feed; the builder must
+    not engage and the host path must produce the same model."""
+    import jax
+
+    from kmcex_tpu.model.device_bloom import ShardedDeviceBloomBuilder
+    from kmcex_tpu.parallel.sharded import ShardedCountAccumulator, make_mesh
+    from kmcex_tpu.count import extract
+
+    mesh = make_mesh(devices=jax.devices("cpu")[:4])
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(8, 64)).astype(np.uint8)
+    acc = ShardedCountAccumulator(mesh, 19, 2, 64, spill_threshold=1)
+    acc.add_batch(codes)
+    total, hist, it = acc.finalize_stream(
+        ci=1, bloom_factory=lambda h: ShardedDeviceBloomBuilder(
+            mesh, 19, 1, 7, h))
+    assert acc.device_bloom is None  # spilled -> host build
+    parts = list(it)
+    got = np.concatenate([p[0] for p in parts])
+    flat = np.asarray(extract.extract_canonical(codes, 19)[0])
+    flat = flat[flat != np.uint64(0xFFFFFFFFFFFFFFFF)]
+    np.testing.assert_array_equal(got, np.unique(flat))
+
+
 def test_count_encode_device_bloom_model_identical(tmp_path):
     """End-to-end: the model-only fast path (device bloom + dropped low
     transfer) builds a byte-identical model to the host-bloom path."""
