@@ -524,7 +524,11 @@ class DeviceKModel:
 
         out = np.zeros(n, dtype=np.int32)
         amb_idx: list[np.ndarray] = []
-        gate_on = True
+        # Probe gating compacts lanes with a batch-wide argsort — fine on
+        # one chip, but under a batch-sharded mesh it would become a
+        # cross-shard sort (the serve path is otherwise zero-collective),
+        # so multi-chip serving uses the ungated program.
+        gate_on = self._in_sharding is None
         starts = list(range(0, n, tile))
         for g in range(0, len(starts), self.GROUP):
             group = starts[g : g + self.GROUP]

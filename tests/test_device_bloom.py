@@ -138,9 +138,11 @@ def test_sharded_device_bloom_skipped_when_spilled(tmp_path):
     np.testing.assert_array_equal(got, np.unique(flat))
 
 
-def test_count_encode_device_bloom_model_identical(tmp_path):
+@pytest.mark.parametrize("ci", [1, 2])
+def test_count_encode_device_bloom_model_identical(tmp_path, ci):
     """End-to-end: the model-only fast path (device bloom + dropped low
-    transfer) builds a byte-identical model to the host-bloom path."""
+    transfer; for ci>1 the sub-ci keys drop too) builds a byte-identical
+    model to the host-bloom path."""
     import os
 
     from kmcex_tpu.count.pipeline import count_encode
@@ -152,11 +154,13 @@ def test_count_encode_device_bloom_model_identical(tmp_path):
 
     os.environ["KMCEX_DEVICE_BLOOM"] = "0"
     try:
-        km_host, kk, cc, _ = count_encode(str(fq), k=k, keep_pairs=True)
+        km_host, kk, cc, _ = count_encode(str(fq), k=k, ci=ci,
+                                          keep_pairs=True)
     finally:
         os.environ["KMCEX_DEVICE_BLOOM"] = "1"
     # fast path: no pairs kept, no DB -> low keys never reach the host
-    km_dev, _, _, stats = count_encode(str(fq), k=k, keep_pairs=False)
+    km_dev, _, _, stats = count_encode(str(fq), k=k, ci=ci,
+                                       keep_pairs=False)
 
     d_host = tmp_path / "m_host"
     d_dev = tmp_path / "m_dev"
