@@ -309,6 +309,54 @@ def _fused_finalize(kmers_list, ci, n_rows: int):
     return u, c, _final_stats(u, c, ci, n_rows)
 
 
+def _drop_compact(u, c, thresh, n_rows: int):
+    """Shared tail of the low-drop: mask counts < thresh, recompact,
+    restat (see _drop_below for why low keys leave the transfer)."""
+    mask = c >= thresh
+    ks = jnp.where(mask, u, SENTINEL)
+    cs_ = jnp.where(mask, c, 0)
+    from kmcex_tpu.count import sort_pallas
+
+    n = u.shape[0]
+    if sort_pallas.use_pallas_sort():
+        from kmcex_tpu.count import compact_pallas
+
+        u2, c2 = compact_pallas.compact_pairs(ks, cs_)
+        u2, c2 = u2[:n], c2[:n]
+    else:
+        u2, c2 = jax.lax.sort((ks, cs_), num_keys=1, is_stable=False)
+    return u2, c2, _final_stats(u2, c2, thresh, n_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _fused_finalize_drop(kmers_list, ci, thresh: int, n_rows: int):
+    """_fused_finalize with the model-only path's low-key drop FOLDED into
+    the same program: returns the full table (for the device Bloom feed)
+    AND the dropped/recompacted transfer table with its own stats — one
+    dispatch, one less blocking stats roundtrip than the two-program
+    shape (~60-85ms at bench scale)."""
+    flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
+    from kmcex_tpu.count.extract import sorted_u64
+
+    u, c, _ = segment_compact(sorted_u64(flat))
+    stats = _final_stats(u, c, ci, n_rows)
+    u2, c2, stats2 = _drop_compact(u, c, jnp.uint32(thresh), n_rows)
+    return u, c, u2, c2, jnp.concatenate([stats, stats2])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _finalize_sorted_run_drop(tiles, ci, thresh: int, n_rows: int):
+    """_finalize_sorted_run + folded low-key drop (tile-LSM variant of
+    _fused_finalize_drop)."""
+    from kmcex_tpu.count import sort_pallas
+
+    s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
+    u, c, _ = segment_compact(s)
+    stats = _final_stats(u, c, ci, n_rows)
+    u2, c2, stats2 = _drop_compact(u, c, jnp.uint32(thresh), n_rows)
+    return u, c, u2, c2, jnp.concatenate([stats, stats2])
+
+
 @jax.jit
 def _sorted_boundary(kmers_list, ci):
     """Concat + sort the raw tier and mark run boundaries WITHOUT compacting:
@@ -1192,7 +1240,7 @@ class DeviceCountAccumulator:
                 yield ku, kc
 
     def _finalize_device_table(self, u, c, flat, ci, cs, bloom_factory,
-                               drop_low):
+                               drop_low, pre_drop=None):
         """Common tail of the on-device finalize paths: optional device
         Bloom-bank build (model.device_bloom) + optional low-key transfer
         drop, then the packed pull.  Dispatch order matters: the pack/pull
@@ -1205,6 +1253,11 @@ class DeviceCountAccumulator:
         fin = self.finalize_phases = {}
         t = _time.time()
         flat = np.asarray(flat)  # blocks on last merge + compact + stats
+        if pre_drop is not None and pre_drop[2] is None:
+            # fold path: the drop table's stats rode along in the same pull
+            half = len(flat) // 2
+            pre_drop = (pre_drop[0], pre_drop[1], flat[half:])
+            flat = flat[:half]
         fin["stats_wait"] = _time.time() - t
         total = int(flat[0])
         hist = flat[1:4].astype(np.int64)
@@ -1218,9 +1271,14 @@ class DeviceCountAccumulator:
         bf_num = 1 if ci == 1 else 3
         t = _time.time()
         if builder is not None and drop_low:
-            n_rows = _row_count(int(u.shape[0]))
-            u2, c2, flat2 = _drop_below(u, c, jnp.uint32(ci + bf_num), n_rows)
-            flat2 = np.asarray(flat2)
+            if pre_drop is not None:  # drop was folded into the finalize
+                u2, c2, flat2 = pre_drop
+                flat2 = np.asarray(flat2)
+            else:
+                n_rows = _row_count(int(u.shape[0]))
+                u2, c2, flat2 = _drop_below(u, c, jnp.uint32(ci + bf_num),
+                                            n_rows)
+                flat2 = np.asarray(flat2)
             fin["drop_low"] = _time.time() - t
             t = _time.time()
             meta = self._pack_run(u2, c2, ci, cs, flat2)
@@ -1272,23 +1330,41 @@ class DeviceCountAccumulator:
                 # default path: the whole single-tier finalize as ONE fused
                 # program + packed pulls (no per-segment overlap; see the
                 # _SEGMENTED_FINALIZE note for why segmented is opt-in).
+                # On the model-only fast path the low-key drop is folded
+                # into the same program (one less stats roundtrip).
+                fold = bloom_factory is not None and drop_low
+                bf_num = 1 if ci == 1 else 3
+                pre_drop = None
                 if self.tile_mode:
                     from kmcex_tpu.count import sort_pallas
 
                     run = self._merged_tile_run()
                     size = run[0].shape[0] * sort_pallas.BLK
                     n_rows = _row_count(size)
-                    u, c, flat = _finalize_sorted_run(run, jnp.uint32(ci),
-                                                      n_rows)
+                    if fold:
+                        u, c, u2, c2, both = _finalize_sorted_run_drop(
+                            run, jnp.uint32(ci), ci + bf_num, n_rows)
+                    else:
+                        u, c, flat = _finalize_sorted_run(
+                            run, jnp.uint32(ci), n_rows)
                 else:
                     size = sum(int(x.shape[0]) for x in self.raw)
                     n_rows = _row_count(size)
-                    u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci),
-                                                 n_rows)
+                    if fold:
+                        u, c, u2, c2, both = _fused_finalize_drop(
+                            self.raw, jnp.uint32(ci), ci + bf_num, n_rows)
+                    else:
+                        u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci),
+                                                     n_rows)
+                if fold:  # ONE pull covers both stats vectors (split in
+                    # _finalize_device_table, where the pull is timed)
+                    flat = both
+                    pre_drop = (u2, c2, None)
                 self.raw = []
                 self.raw_elems = 0
                 return self._finalize_device_table(u, c, flat, ci, cs,
-                                                   bloom_factory, drop_low)
+                                                   bloom_factory, drop_low,
+                                                   pre_drop=pre_drop)
             # SEGMENTED single-tier finalize: sort + boundary-mark the whole
             # tier, pull only the 4-word sizing stats, then compact/pack/pull
             # one key-range segment at a time — the host encode consumes
