@@ -292,11 +292,11 @@ class ShardedCountAccumulator:
     def add_batch_packed(self, packed, maskbits) -> None:
         self._push_raw(*self._route(packed, maskbits))
 
-    def _push_raw(self, recv, windows: int, real_max: int) -> None:
+    def _push_raw(self, recv, windows: int, real_total: int) -> None:
         self.total_windows += windows
         self.raw.append(recv)
         self.raw_elems += recv.shape[1]
-        self.raw_real += real_max
+        self.raw_real += real_total  # global real k-mers routed (diagnostic)
         if self.raw_elems >= self.raw_tier_elems:
             self._collapse_raw()
 

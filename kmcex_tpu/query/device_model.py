@@ -123,6 +123,7 @@ class DeviceKModel:
         self.n_hash = km.n_hash
         self.n_bits = km.n_bits
         self.ci = km.ci
+        self.cs = km.cs
         self.bf_num = km.bf_num
         self.probe_order = km.bloom.probe_order
         self.bf_num_hash = km.bf_num_hash
@@ -449,8 +450,18 @@ class DeviceKModel:
                 & (((nbin == 1) & (bf_occ != 0)) | (nbin >= 2))
             )
             # Only (out, ambiguous, overflow) cross the device->host link
-            # (the link is the end-to-end bottleneck); phase 2 recomputes
-            # probe state on device for the few ambiguous survivors.
+            # (the link is the end-to-end bottleneck), so they travel
+            # small: answers are <= cs (u16 when cs permits) and the
+            # ambiguity mask is bit-packed (x8) — ~2.4x fewer download
+            # bytes per tile.  Phase 2 recomputes probe state on device
+            # for the few ambiguous survivors.
+            if self.cs < (1 << 16):
+                out = out.astype(jnp.uint16)
+            if N % 8 == 0:
+                bits = ambiguous.reshape(-1, 8).astype(jnp.uint8)
+                weights = (jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8))
+                ambiguous = jnp.sum(bits * weights, axis=1,
+                                    dtype=jnp.uint8)
             return out, ambiguous, overflow
 
         return main
@@ -567,7 +578,10 @@ class DeviceKModel:
                     gate_on = False
                     o, amb, _ = self._main_full(c)
                 out[a : a + nc] = np.asarray(o)[:nc]
-                ai = np.flatnonzero(np.asarray(amb)[:nc])
+                amb_np = np.asarray(amb)
+                if amb_np.dtype != np.bool_:  # bit-packed (see _build_main)
+                    amb_np = np.unpackbits(amb_np, bitorder="little")
+                ai = np.flatnonzero(amb_np[:nc])
                 if len(ai):
                     amb_idx.append(ai + a)
         if amb_idx:
