@@ -341,6 +341,33 @@ def main() -> None:
             except Exception as e:
                 log(f"reference query benchmark skipped: {e}")
 
+    # Measured false-positive rate of kmer_to_occ on absent k-mers.  The
+    # reference README claims its FP rate beats BF-based count baselines
+    # by ~2 orders of magnitude (/root/reference/README.md:3) but prints
+    # no number; byte-parity with the reference makes OUR measured rate
+    # exactly ITS rate on this input — recorded here so the claim has a
+    # concrete, reproducible figure.  (The paper's baseline construction
+    # — count-answering Bloom-filter banks at its chosen operating points
+    # — is not in the repo, so only our side is measurable.)
+    fp_rate = 0.0
+    if os.environ.get("KMCEX_BENCH_QUERY", "1") != "0":
+        try:
+            rng = np.random.default_rng(99)
+            mask2k = (np.uint64(1) << np.uint64(2 * K)) - np.uint64(1)
+            cand = rng.integers(0, 1 << 62, 400_000, dtype=np.uint64) & mask2k
+            from kmcex_tpu.core import codec as _codec
+
+            cand = np.unique(_codec.canonical_np(cand, K))
+            absent = cand[~np.isin(cand, kmers)]
+            occ = km.kmer_to_occ_u64(absent)
+            fp_rate = float(np.count_nonzero(occ)) / len(absent)
+            log(f"false-positive rate on {len(absent)} absent k-mers: "
+                f"{fp_rate:.2e} (== the reference's rate by byte parity; "
+                f"model {km.total_model_bytes() >> 20}MB for "
+                f"{km.total_kmer_count} k-mers with counts)")
+        except Exception as e:
+            log(f"false-positive benchmark skipped: {e}")
+
     # Memory-saving ratio in the reference's regime (README.md:3: "average
     # memory-saving ratio on all 31-mers is as high as 13.81 as compared with
     # RAW INPUT"): a ~30x-coverage workload (the main bench's 15x synthetic is
@@ -479,6 +506,7 @@ def main() -> None:
         "host_query_mqs": round(host_mqs, 2),
         "device_query_mqs": round(dev_mqs, 2),
         "device_query_compute_mqs": round(compute_mqs, 2),
+        "fp_rate": fp_rate,
         "phases": phases,
     }))
 
