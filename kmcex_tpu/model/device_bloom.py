@@ -169,20 +169,10 @@ def _sharded_low_hist_program(mesh):
 
 @functools.lru_cache(maxsize=None)
 def _pack_program():
-    """bits u8[cap] -> bytes u8[cap//8], MSB-first within each byte
-    (reference set_bit/check_bit layout, kmodel.hpp:576-588)."""
+    """jitted single-device wrapper around _pack_bytes."""
     import jax
-    import jax.numpy as jnp
 
-    @jax.jit
-    def pack(bits):
-        g = bits.reshape(-1, 8)
-        out = jnp.zeros(g.shape[0], jnp.uint8)
-        for j in range(8):
-            out = out | (g[:, j] << np.uint8(7 - j))
-        return out
-
-    return pack
+    return jax.jit(_pack_bytes)
 
 
 class DeviceBloomBuilder:

@@ -151,7 +151,6 @@ class DeviceKModel:
         self.km_bit_size = int(km.km_bit_size)
         self.km_back = put(km.km_back) if km.byte_km_back else None
         self.bit_km_back = int(km.bit_km_back)
-        self.seeds = put(_seed_matrix(self.n_bits, self.n_hash).astype(np.uint64))
         self._seed_flat = _seed_matrix(self.n_bits, self.n_hash).astype(np.uint64).reshape(-1)
         # shared hash-state seed vectors: ONE murmur precompute + eval per
         # distinct string serves every probe family (the precompute's block
