@@ -94,18 +94,20 @@ def build_ref_harness() -> str | None:
 PIN_PATH = pathlib.Path(__file__).parent / "bench_pins.json"
 
 
-def pin_best(key: str, value: float) -> float:
+def pin_best(key: str, value: float, mode: str = "max") -> float:
     """Record the best value ever observed for ``key`` in bench_pins.json
-    (monotone max) and return it.  Query/throughput numbers on this rig
-    swing ~2x with host-core contention; the pin keeps README claims
-    anchored to demonstrated capability rather than session noise."""
+    (monotone max for throughputs, min for baseline seconds) and return
+    it.  Numbers on this rig swing ~2x with host-core contention; pins
+    keep README claims anchored to demonstrated capability rather than
+    session noise."""
     pins = {}
     try:
         pins = json.loads(PIN_PATH.read_text())
     except Exception:
         pass
     best = pins.get(key)
-    if best is None or value > best:
+    better = (value > best) if mode == "max" else (value < best)
+    if best is None or better:
         pins[key] = round(value, 3)
         best = value
         try:
@@ -258,7 +260,6 @@ def main() -> None:
 
     vs_baseline = 0.0
     vs_baseline_pinned = 0.0
-    pin_path = pathlib.Path(__file__).parent / "bench_pins.json"
     harness = build_ref_harness()
     if harness:
         db = BENCH_DIR / "bench_db"
@@ -287,21 +288,8 @@ def main() -> None:
         # like a regression in the ratio).  bench_pins.json records the
         # fastest baseline time ever observed for this exact workload;
         # both ratios are reported and the pin tightens monotonically.
-        pins = {}
-        try:
-            pins = json.loads(pin_path.read_text())
-        except Exception:
-            pass
-        key = f"baseline_encode_seconds_n{stats.reads}"
-        pinned_t = pins.get(key)
-        if pinned_t is None or t_ref < pinned_t:
-            pins[key] = round(t_ref, 3)
-            pinned_t = t_ref
-            try:
-                pin_path.write_text(json.dumps(pins, indent=1) + "\n")
-                log(f"pinned baseline updated: {key} = {t_ref:.3f}s")
-            except OSError as e:
-                log(f"pin file not writable: {e}")
+        pinned_t = pin_best(f"baseline_encode_seconds_n{stats.reads}",
+                            t_ref, mode="min")
         vs_baseline_pinned = reads_per_s / (stats.reads / pinned_t)
         log(f"vs_baseline session {vs_baseline:.3f} / pinned "
             f"{vs_baseline_pinned:.3f} (pinned ref {pinned_t:.2f}s)")
@@ -469,20 +457,9 @@ def main() -> None:
                     )
                     t_refr = min(t_refr or 1e9, time.time() - t0)
                 vs_baseline_realistic = t_refr / t_real
-                pins = {}
-                try:
-                    pins = json.loads(pin_path.read_text())
-                except Exception:
-                    pass
-                keyr = f"baseline_encode_seconds_realistic_n{rstats.reads}"
-                pinned_tr = pins.get(keyr)
-                if pinned_tr is None or t_refr < pinned_tr:
-                    pins[keyr] = round(t_refr, 3)
-                    pinned_tr = t_refr
-                    try:
-                        pin_path.write_text(json.dumps(pins, indent=1) + "\n")
-                    except OSError as e:
-                        log(f"pin file not writable: {e}")
+                pinned_tr = pin_best(
+                    f"baseline_encode_seconds_realistic_n{rstats.reads}",
+                    t_refr, mode="min")
                 vs_baseline_realistic_pinned = pinned_tr / t_real
                 log(f"reference encode-only, realistic spectrum: "
                     f"{t_refr:.2f}s; vs_baseline_realistic session "

@@ -222,24 +222,30 @@ def _collapse_sorted_run(tiles):
     return uniq, counts, n_unique.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _finalize_sorted_run(tiles, ci, n_rows: int):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _finalize_sorted_run(tiles, ci, cs, n_rows: int):
     """Fused finalize of an already-sorted tile run: segment-count,
-    compact, stats — one device program, no merge tree."""
+    compact, clamp, stats — one device program, no merge tree.  Counts are
+    cs-clamped HERE (the reference's counters are clamped when its kmc
+    binary writes the database, so every downstream consumer — the sizing
+    histogram, the Bloom feed, the low drop, the transfer — must see
+    clamped values; matching on raw counts diverges whenever
+    cs < ci + bf_num)."""
     from kmcex_tpu.count import sort_pallas
 
     s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
     u, c, _ = segment_compact(s)
+    c = jnp.minimum(c, cs)
     return u, c, _final_stats(u, c, ci, n_rows)
 
 
 @jax.jit
-def _sorted_boundary_run(tiles, ci):
+def _sorted_boundary_run(tiles, ci, cs):
     """Boundary-mark an already-sorted tile run (segmented-finalize path)."""
     from kmcex_tpu.count import sort_pallas
 
     s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
-    return _boundary_mark(s, ci)
+    return _boundary_mark(s, ci, cs)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -296,16 +302,18 @@ def _final_stats(kmers, counts, ci, n_rows: int = 1):
     ])
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _fused_finalize(kmers_list, ci, n_rows: int):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _fused_finalize(kmers_list, ci, cs, n_rows: int):
     """The whole single-tier finalize as ONE device program: concat the raw
-    tier, sort, segment-count duplicates, compact, and compute the flat
-    stats vector.  One dispatch + one small pull replaces the old
-    sort/per-part-compact/per-field-stat chain (~15 blocking roundtrips)."""
+    tier, sort, segment-count duplicates, compact, cs-clamp (see
+    _finalize_sorted_run), and compute the flat stats vector.  One dispatch
+    + one small pull replaces the old sort/per-part-compact/per-field-stat
+    chain (~15 blocking roundtrips)."""
     flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
     from kmcex_tpu.count.extract import sorted_u64
 
     u, c, _ = segment_compact(sorted_u64(flat))
+    c = jnp.minimum(c, cs)
     return u, c, _final_stats(u, c, ci, n_rows)
 
 
@@ -328,8 +336,8 @@ def _drop_compact(u, c, thresh, n_rows: int):
     return u2, c2, _final_stats(u2, c2, thresh, n_rows)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _fused_finalize_drop(kmers_list, ci, thresh: int, n_rows: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _fused_finalize_drop(kmers_list, ci, cs, thresh: int, n_rows: int):
     """_fused_finalize with the model-only path's low-key drop FOLDED into
     the same program: returns the full table (for the device Bloom feed)
     AND the dropped/recompacted transfer table with its own stats — one
@@ -339,26 +347,28 @@ def _fused_finalize_drop(kmers_list, ci, thresh: int, n_rows: int):
     from kmcex_tpu.count.extract import sorted_u64
 
     u, c, _ = segment_compact(sorted_u64(flat))
+    c = jnp.minimum(c, cs)
     stats = _final_stats(u, c, ci, n_rows)
     u2, c2, stats2 = _drop_compact(u, c, jnp.uint32(thresh), n_rows)
     return u, c, u2, c2, jnp.concatenate([stats, stats2])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _finalize_sorted_run_drop(tiles, ci, thresh: int, n_rows: int):
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _finalize_sorted_run_drop(tiles, ci, cs, thresh: int, n_rows: int):
     """_finalize_sorted_run + folded low-key drop (tile-LSM variant of
     _fused_finalize_drop)."""
     from kmcex_tpu.count import sort_pallas
 
     s = sort_pallas._from_tiles(tiles, tiles[0].shape[0] * sort_pallas.BLK)
     u, c, _ = segment_compact(s)
+    c = jnp.minimum(c, cs)
     stats = _final_stats(u, c, ci, n_rows)
     u2, c2, stats2 = _drop_compact(u, c, jnp.uint32(thresh), n_rows)
     return u, c, u2, c2, jnp.concatenate([stats, stats2])
 
 
 @jax.jit
-def _sorted_boundary(kmers_list, ci):
+def _sorted_boundary(kmers_list, ci, cs):
     """Concat + sort the raw tier and mark run boundaries WITHOUT compacting:
     returns (key, counts, gstats) where duplicate/masked slots hold
     (SENTINEL, 0), boundary slots hold (k-mer, run length), and ``gstats``
@@ -370,10 +380,10 @@ def _sorted_boundary(kmers_list, ci):
     flat = jnp.concatenate(kmers_list) if len(kmers_list) > 1 else kmers_list[0]
     from kmcex_tpu.count.extract import sorted_u64
 
-    return _boundary_mark(sorted_u64(flat), ci)
+    return _boundary_mark(sorted_u64(flat), ci, cs)
 
 
-def _boundary_mark(s, ci):
+def _boundary_mark(s, ci, cs):
     n = s.shape[0]
     idxs = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
@@ -383,7 +393,8 @@ def _boundary_mark(s, ci):
     next_b = jnp.flip(jax.lax.cummin(jnp.flip(
         jnp.concatenate([bpos[1:], jnp.array([n], jnp.int32)]))))
     run_len = jnp.minimum(next_b, n_real) - idxs
-    counts = jnp.where(valid, run_len, 0).astype(jnp.uint32)
+    counts = jnp.minimum(jnp.where(valid, run_len, 0).astype(jnp.uint32),
+                         cs)  # reference counters are cs-clamped at source
     key = jnp.where(valid, s, SENTINEL)
     total = jnp.sum(counts >= ci, dtype=jnp.int64)
     hist = [jnp.sum(counts == ci + i, dtype=jnp.int64) for i in range(3)]
@@ -411,27 +422,13 @@ def _compact_seg(key, cnt, q, seg_len: int, n_rows: int, ci=1):
     return u, c, _final_stats(u, c, ci, n_rows)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _drop_below(key, cnt, thresh, n_rows: int):
-    """Drop every entry with count < ``thresh`` (traced) from a compacted
-    (key, cnt) table and recompact + restat it.  Used by the device-bloom
-    fast path: low-count keys whose Bloom insertion happened ON DEVICE
-    never need to cross the host link, and for ci>1 the sub-ci keys the
-    decode would discard anyway stop traveling too."""
-    mask = cnt >= thresh
-    ks = jnp.where(mask, key, SENTINEL)
-    cs_ = jnp.where(mask, cnt, 0)
-    from kmcex_tpu.count import sort_pallas
-
-    n = key.shape[0]
-    if sort_pallas.use_pallas_sort():
-        from kmcex_tpu.count import compact_pallas
-
-        u, c = compact_pallas.compact_pairs(ks, cs_)
-        u, c = u[:n], c[:n]
-    else:  # CPU fallback: compaction by payload sort
-        u, c = jax.lax.sort((ks, cs_), num_keys=1, is_stable=False)
-    return u, c, _final_stats(u, c, thresh, n_rows)
+# Standalone jit of the shared drop tail (used by the runs-path fallback
+# where the drop is not folded into a fused finalize).  Drops every entry
+# with count < thresh: low-count keys whose Bloom insertion happened ON
+# DEVICE never need to cross the host link, and for ci>1 the sub-ci keys
+# the decode would discard anyway stop traveling too.  Counts must already
+# be cs-clamped (the fused programs clamp right after compaction).
+_drop_below = functools.partial(jax.jit, static_argnums=(3,))(_drop_compact)
 
 
 def _pack_bits(vals: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -574,9 +571,10 @@ def one_pass_finalize(sources, ci: int, cs: int, disk_dir: str | None,
         n_all = 0
         with open(kpath, "wb") as fk, open(cpath, "wb") as fc:
             for mk, mc in DeviceCountAccumulator._merge_streams(sources):
-                total += int(np.count_nonzero(mc >= ci))
+                mcc = np.minimum(mc, np.uint32(cs))  # reference counters
+                total += int(np.count_nonzero(mcc >= ci))  # are cs-clamped
                 for i in range(3):
-                    hist[i] += int(np.count_nonzero(mc == ci + i))
+                    hist[i] += int(np.count_nonzero(mcc == ci + i))
                 n_all += len(mk)
                 mk.astype("<u8").tofile(fk)
                 mc.astype("<u4").tofile(fc)
@@ -605,6 +603,7 @@ def one_pass_finalize(sources, ci: int, cs: int, disk_dir: str | None,
     # source runs plus the (smaller) filtered table, never both unfiltered.
     parts = []
     for mk, mc in DeviceCountAccumulator._merge_streams(sources):
+        mc = np.minimum(mc, np.uint32(cs))  # clamp before hist/total too
         total += int(np.count_nonzero(mc >= ci))
         for i in range(3):
             hist[i] += int(np.count_nonzero(mc == ci + i))
@@ -1343,19 +1342,21 @@ class DeviceCountAccumulator:
                     n_rows = _row_count(size)
                     if fold:
                         u, c, u2, c2, both = _finalize_sorted_run_drop(
-                            run, jnp.uint32(ci), ci + bf_num, n_rows)
+                            run, jnp.uint32(ci), jnp.uint32(cs),
+                            ci + bf_num, n_rows)
                     else:
                         u, c, flat = _finalize_sorted_run(
-                            run, jnp.uint32(ci), n_rows)
+                            run, jnp.uint32(ci), jnp.uint32(cs), n_rows)
                 else:
                     size = sum(int(x.shape[0]) for x in self.raw)
                     n_rows = _row_count(size)
                     if fold:
                         u, c, u2, c2, both = _fused_finalize_drop(
-                            self.raw, jnp.uint32(ci), ci + bf_num, n_rows)
+                            self.raw, jnp.uint32(ci), jnp.uint32(cs),
+                            ci + bf_num, n_rows)
                     else:
                         u, c, flat = _fused_finalize(self.raw, jnp.uint32(ci),
-                                                     n_rows)
+                                                     jnp.uint32(cs), n_rows)
                 if fold:  # ONE pull covers both stats vectors (split in
                     # _finalize_device_table, where the pull is timed)
                     flat = both
@@ -1372,9 +1373,10 @@ class DeviceCountAccumulator:
             # what used to be strictly serial phases.
             if self.tile_mode:
                 key, cnt, gstats = _sorted_boundary_run(
-                    self._merged_tile_run(), jnp.uint32(ci))
+                    self._merged_tile_run(), jnp.uint32(ci), jnp.uint32(cs))
             else:
-                key, cnt, gstats = _sorted_boundary(self.raw, jnp.uint32(ci))
+                key, cnt, gstats = _sorted_boundary(self.raw, jnp.uint32(ci),
+                                                    jnp.uint32(cs))
             self.raw = []
             self.raw_elems = 0
             gstats = np.asarray(gstats)
@@ -1392,10 +1394,11 @@ class DeviceCountAccumulator:
         host = self._finalize_host()
         if host is not None:
             kmers, counts = host
-            valid = counts >= ci
+            counts_c = np.minimum(counts, np.uint32(cs))  # clamped sizing
+            valid = counts_c >= ci
             total = int(np.count_nonzero(valid))
             hist = np.array(
-                [np.count_nonzero(counts == ci + i) for i in range(3)],
+                [np.count_nonzero(counts_c == ci + i) for i in range(3)],
                 dtype=np.int64,
             )
             m = max(1, -(-len(kmers) // max(n_chunks, 1)))
@@ -1411,6 +1414,7 @@ class DeviceCountAccumulator:
         if not self.runs:
             return 0, np.zeros(3, dtype=np.int64), iter(())
         u, c, _ = self.runs[0]
+        c = jnp.minimum(c, jnp.uint32(cs))  # clamp before stats/feed/drop
         flat = _final_stats(u, c, np.uint32(ci), _row_count(int(u.shape[0])))
         return self._finalize_device_table(u, c, flat, ci, cs,
                                            bloom_factory, drop_low)

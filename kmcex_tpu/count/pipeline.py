@@ -266,7 +266,7 @@ def count_encode(
 
                 fin_kwargs = dict(
                     bloom_factory=lambda hist: DeviceBloomBuilder(
-                        k, ci, num_hash, hist),
+                        k, ci, cs, num_hash, hist),
                     drop_low=(not keep_pairs) and db_path is None,
                 )
             elif accumulator == "sharded":
@@ -276,7 +276,7 @@ def count_encode(
 
                 fin_kwargs = dict(
                     bloom_factory=lambda hist: ShardedDeviceBloomBuilder(
-                        mesh, k, ci, num_hash, hist))
+                        mesh, k, ci, cs, num_hash, hist))
         with ph.phase("merge+stats"):
             total, low_hist, chunks = acc.finalize_stream(ci, cs,
                                                           **fin_kwargs)

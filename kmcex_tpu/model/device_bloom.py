@@ -41,10 +41,13 @@ TILE = 1 << 21
 MAX_BITMAP_BYTES = 4 << 30
 
 
-def _tile_positions(ut, ct, lens, offs, cap, k: int, ci: int, bf_num: int,
-                    n_hash: int):
+def _tile_positions(ut, ct, cs, lens, offs, cap, k: int, ci: int,
+                    bf_num: int, n_hash: int):
     """Flat probe-bit positions for one tile of (kmer, count) rows; masked
-    lanes map to ``cap`` (callers scatter with mode="drop")."""
+    lanes map to ``cap`` (callers scatter with mode="drop").  ``cs`` is the
+    counter cap: membership matches the reference's cs-CLAMPED counters
+    (its kmc binary clamps when writing the database), which matters for
+    configs with cs < ci + bf_num."""
     import jax.numpy as jnp
 
     from kmcex_tpu.core import codec
@@ -56,6 +59,7 @@ def _tile_positions(ut, ct, lens, offs, cap, k: int, ci: int, bf_num: int,
     from kmcex_tpu.count.device_lsm import SENTINEL
 
     real = ut != SENTINEL
+    ct = jnp.minimum(ct, cs)
     ascii_k = codec.ascii_bytes_jnp(ut, k)
     bl, tl = murmur_pre_jnp(ascii_k)
     h_main = murmur_eval_jnp(bl, tl, k, HASH_SEEDS[: n_hash - 1])
@@ -83,11 +87,14 @@ def _feed_program(k: int, ci: int, bf_num: int, n_hash: int):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def feed(u, c, t, lens, offs, bitmap):
+    # bitmap donated: the builder rebinds the result each call, and the
+    # copy XLA would otherwise make costs a full bitmap of HBM traffic
+    # per tile
+    @functools.partial(jax.jit, donate_argnums=(6,))
+    def feed(u, c, t, cs, lens, offs, bitmap):
         ut = jax.lax.dynamic_slice(u, (t * TILE,), (TILE,))
         ct = jax.lax.dynamic_slice(c, (t * TILE,), (TILE,))
-        pos = _tile_positions(ut, ct, lens, offs, bitmap.shape[0],
+        pos = _tile_positions(ut, ct, cs, lens, offs, bitmap.shape[0],
                               k, ci, bf_num, n_hash)
         return bitmap.at[pos].set(jnp.uint8(1), mode="drop")
 
@@ -110,7 +117,7 @@ def _pack_bytes(bm):
 def _sharded_feed_program(mesh, k: int, ci: int, bf_num: int, n_hash: int):
     """shard_map feed over a hash-sharded table: each shard scatters its
     own disjoint keys' probe bits into a local bitmap, an OR-collective
-    (an OR-collective (min(psum,1)) over the shard axis) combines them, and the byte pack runs in
+    (min(psum, 1)) over the shard axis combines them, and the byte pack runs in
     the same program — one dispatch returns the replicated finished
     filter bytes.  This is the 'atomic-OR is ideal for collectives'
     pattern from SURVEY.md §5 made literal: the Bloom side of the encode
@@ -120,14 +127,14 @@ def _sharded_feed_program(mesh, k: int, ci: int, bf_num: int, n_hash: int):
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    def local(u_l, c_l, lens, offs, bitmap):
+    def local(u_l, c_l, cs, lens, offs, bitmap):
         u = u_l[0]
         c = c_l[0]
         bm = bitmap
         cap = bm.shape[0]
         S = u.shape[0]
         for a in range(0, S, TILE):
-            pos = _tile_positions(u[a : a + TILE], c[a : a + TILE],
+            pos = _tile_positions(u[a : a + TILE], c[a : a + TILE], cs,
                                   lens, offs, cap, k, ci, bf_num, n_hash)
             bm = bm.at[pos].set(jnp.uint8(1), mode="drop")
         # OR across shards as min(psum, 1): the axon TPU compile helper
@@ -139,7 +146,7 @@ def _sharded_feed_program(mesh, k: int, ci: int, bf_num: int, n_hash: int):
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("shard"), P("shard"), P(), P(), P()),
+        in_specs=(P("shard"), P("shard"), P(), P(), P(), P()),
         out_specs=P(), check_vma=False))
 
 
@@ -153,9 +160,9 @@ def _sharded_low_hist_program(mesh):
 
     from kmcex_tpu.count.device_lsm import SENTINEL
 
-    def local(u_l, c_l, ci_):
+    def local(u_l, c_l, ci_, cs_):
         u = u_l[0]
-        c = c_l[0]
+        c = jnp.minimum(c_l[0], cs_)  # reference counters are cs-clamped
         real = u != SENTINEL
         h = jnp.stack([
             jnp.sum(real & (c == ci_ + np.uint32(i)), dtype=jnp.int64)
@@ -163,7 +170,7 @@ def _sharded_low_hist_program(mesh):
         return jax.lax.psum(h, "shard")
 
     return jax.jit(jax.shard_map(
-        local, mesh=mesh, in_specs=(P("shard"), P("shard"), P()),
+        local, mesh=mesh, in_specs=(P("shard"), P("shard"), P(), P()),
         out_specs=P(), check_vma=False))
 
 
@@ -179,7 +186,7 @@ class DeviceBloomBuilder:
     """Accumulates the Bloom bank on device while the count table streams
     to the host encode.  Lifecycle:
 
-        b = DeviceBloomBuilder(k, ci, n_hash, low_hist)   # after stats pull
+        b = DeviceBloomBuilder(k, ci, cs, n_hash, low_hist)  # post stats pull
         b.feed_table(u, c, n_real)     # device arrays from the finalize
         b.start_pull()                 # dispatch byte-pack + async pull
         b.into(bank)                   # fill a BloomBank's byte arrays
@@ -187,12 +194,13 @@ class DeviceBloomBuilder:
     Raises ValueError at construction when the bitmap would exceed
     MAX_BITMAP_BYTES (callers fall back to the host build)."""
 
-    def __init__(self, k: int, ci: int, n_hash: int, low_hist):
+    def __init__(self, k: int, ci: int, cs: int, n_hash: int, low_hist):
         import jax
         import jax.numpy as jnp
 
         self.k = int(k)
         self.ci = int(ci)
+        self.cs = int(cs)
         self.n_hash = int(n_hash)
         self.bf_num = 1 if ci == 1 else 3
         counts = np.zeros(3, dtype=np.uint64)
@@ -237,7 +245,8 @@ class DeviceBloomBuilder:
                     [u, jnp.full((pad,), SENTINEL, jnp.uint64)])
                 c = jnp.concatenate([c, jnp.zeros((pad,), jnp.uint32)])
         for t in range(n_tiles):
-            self._bitmap = self._feed(u, c, jnp.int32(t), self._lens,
+            self._bitmap = self._feed(u, c, jnp.int32(t),
+                                      jnp.uint32(self.cs), self._lens,
                                       self._offs, self._bitmap)
 
     def start_pull(self) -> None:
@@ -271,8 +280,9 @@ class ShardedDeviceBloomBuilder(DeviceBloomBuilder):
     Feed with the per-shard merged run ([n_shards, S] sharded arrays)
     BEFORE the table drains to the host."""
 
-    def __init__(self, mesh, k: int, ci: int, n_hash: int, low_hist):
-        super().__init__(k, ci, n_hash, low_hist)
+    def __init__(self, mesh, k: int, ci: int, cs: int, n_hash: int,
+                 low_hist):
+        super().__init__(k, ci, cs, n_hash, low_hist)
         if mesh.devices.size > 255:
             # the OR-collective is a u8 psum of 0/1 bitmaps (see
             # _sharded_feed_program); 256+ shards could wrap
@@ -280,17 +290,21 @@ class ShardedDeviceBloomBuilder(DeviceBloomBuilder):
         self.mesh = mesh
 
     def feed_table_sharded(self, u, c) -> None:
+        import jax.numpy as jnp
+
         prog = _sharded_feed_program(self.mesh, self.k, self.ci,
                                      self.bf_num, self.n_hash)
-        data = prog(u, c, self._lens, self._offs,
+        data = prog(u, c, jnp.uint32(self.cs), self._lens, self._offs,
                     self._bitmap)[: self.total_bytes]
         data.copy_to_host_async()
         self._pulled = data  # start_pull() becomes a no-op
 
     @staticmethod
-    def global_low_hist(mesh, u, c, ci: int) -> np.ndarray:
-        """Global pass-1 histogram (counter == ci+i) of a sharded table."""
+    def global_low_hist(mesh, u, c, ci: int, cs: int) -> np.ndarray:
+        """Global pass-1 histogram (cs-clamped counter == ci+i) of a
+        sharded table."""
         import jax.numpy as jnp
 
         return np.asarray(
-            _sharded_low_hist_program(mesh)(u, c, jnp.uint32(ci)))
+            _sharded_low_hist_program(mesh)(u, c, jnp.uint32(ci),
+                                            jnp.uint32(cs)))

@@ -560,14 +560,18 @@ class ShardedCountAccumulator:
         if (bloom_factory is not None and not any(self.host_runs)
                 and not any(self.disk_runs) and (self.raw or self.runs)):
             self._merge_all_device()
-            if self.runs:
+            # re-check AFTER the merge: _collapse_raw/_push_run can spill
+            # runs to host mid-merge, and a builder fed only the surviving
+            # device run would silently lose the spilled keys' low counts
+            if (self.runs and not any(self.host_runs)
+                    and not any(self.disk_runs)):
                 u, c, _ = self.runs[0]
                 from kmcex_tpu.model.device_bloom import (
                     ShardedDeviceBloomBuilder,
                 )
 
                 hist = ShardedDeviceBloomBuilder.global_low_hist(
-                    self.mesh, u, c, ci)
+                    self.mesh, u, c, ci, cs)
                 try:
                     builder = bloom_factory(hist)
                 except ValueError:  # bitmap too large: host fallback

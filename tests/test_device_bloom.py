@@ -37,7 +37,7 @@ def test_device_bloom_matches_host(k, ci, nh):
     for i in range(bf_num):
         host.insert(i, kmers[counts == ci + i], k)
 
-    b = DeviceBloomBuilder(k, ci, nh, hist)
+    b = DeviceBloomBuilder(k, ci, 1023, nh, hist)
     # SENTINEL-padded device table, like the fused finalize produces
     pad = 173
     u = jnp.asarray(np.concatenate(
@@ -70,10 +70,10 @@ def test_device_bloom_split_feeds_match():
     hist = np.array(
         [np.count_nonzero(counts == ci + i) for i in range(3)], np.uint64)
 
-    one = DeviceBloomBuilder(k, ci, nh, hist)
+    one = DeviceBloomBuilder(k, ci, 1023, nh, hist)
     one.feed_table(jnp.asarray(kmers), jnp.asarray(counts), len(kmers))
     cut = len(kmers) // 2
-    two = DeviceBloomBuilder(k, ci, nh, hist)
+    two = DeviceBloomBuilder(k, ci, 1023, nh, hist)
     two.feed_table(jnp.asarray(kmers[:cut]), jnp.asarray(counts[:cut]), cut)
     two.feed_table(jnp.asarray(kmers[cut:]), jnp.asarray(counts[cut:]),
                    len(kmers) - cut)
@@ -97,12 +97,16 @@ def test_sharded_device_bloom_model_identical(tmp_path):
     _write_fastq(fq, n_reads=600, seed=9)
     k = 19
 
+    prev = os.environ.get("KMCEX_DEVICE_BLOOM")
     os.environ["KMCEX_DEVICE_BLOOM"] = "0"
     try:
         km_host, _, _, _ = count_encode(str(fq), k=k,
                                         accumulator="sharded")
     finally:
-        os.environ["KMCEX_DEVICE_BLOOM"] = "1"
+        if prev is None:
+            os.environ.pop("KMCEX_DEVICE_BLOOM", None)
+        else:
+            os.environ["KMCEX_DEVICE_BLOOM"] = prev
     km_mesh, _, _, _ = count_encode(str(fq), k=k, accumulator="sharded")
 
     d_host = tmp_path / "m_host"
@@ -129,13 +133,96 @@ def test_sharded_device_bloom_skipped_when_spilled(tmp_path):
     acc.add_batch(codes)
     total, hist, it = acc.finalize_stream(
         ci=1, bloom_factory=lambda h: ShardedDeviceBloomBuilder(
-            mesh, 19, 1, 7, h))
+            mesh, 19, 1, 1023, 7, h))
     assert acc.device_bloom is None  # spilled -> host build
     parts = list(it)
     got = np.concatenate([p[0] for p in parts])
     flat = np.asarray(extract.extract_canonical(codes, 19)[0])
     flat = flat[flat != np.uint64(0xFFFFFFFFFFFFFFFF)]
     np.testing.assert_array_equal(got, np.unique(flat))
+
+
+def test_sharded_device_bloom_skipped_on_finalize_time_spill(tmp_path):
+    """Regression (round-5 review): the no-spill precondition must be
+    re-checked AFTER _merge_all_device — the finalize-time raw collapse can
+    cascade a merge over the spill threshold, and a builder fed only the
+    surviving device run would silently lose the spilled keys' low
+    counts."""
+    import jax
+
+    from kmcex_tpu.count import extract
+    from kmcex_tpu.model.device_bloom import ShardedDeviceBloomBuilder
+    from kmcex_tpu.parallel import sharded
+
+    mesh = sharded.make_mesh(devices=jax.devices("cpu")[:2])
+    k, rows, seg = 19, 2, 64
+    rng = np.random.default_rng(17)
+    acc = sharded.ShardedCountAccumulator(
+        mesh, k, rows, seg, raw_tier_elems=1 << 60,
+        spill_threshold=1 << 60)
+    batches = [rng.integers(0, 4, size=(2 * rows, seg)).astype(np.uint8)
+               for _ in range(11)]
+    flats = []
+    for cb in batches:
+        flat = np.asarray(extract.extract_canonical(cb, k)[0])
+        flats.append(flat[flat != np.uint64(0xFFFFFFFFFFFFFFFF)])
+    # runs: R6 (6 batches), R2 (2 batches); 3 batches left raw
+    for cb in batches[:6]:
+        acc.add_batch(cb)
+    acc._collapse_raw()
+    for cb in batches[6:8]:
+        acc.add_batch(cb)
+    acc._collapse_raw()
+    for cb in batches[8:]:
+        acc.add_batch(cb)
+    assert len(acc.runs) == 2 and acc.raw
+    s_unit = acc.runs[1][2] // 2  # per-batch run width
+    # now let the finalize-time cascade (R2 + R3 -> R5) cross the threshold
+    acc.spill_threshold = 4 * s_unit
+    total, hist, it = acc.finalize_stream(
+        ci=1, bloom_factory=lambda h: ShardedDeviceBloomBuilder(
+            mesh, k, 1, 1023, 7, h))
+    assert any(acc.host_runs) or acc.device_bloom is None
+    assert acc.device_bloom is None, \
+        "builder must not engage after a finalize-time spill"
+    parts = list(it)
+    got_k = np.concatenate([p[0] for p in parts])
+    got_c = np.concatenate([p[1] for p in parts])
+    want_k, want_c = np.unique(np.concatenate(flats), return_counts=True)
+    np.testing.assert_array_equal(got_k, want_k)
+    np.testing.assert_array_equal(got_c, want_c.astype(got_c.dtype))
+
+
+def test_device_bloom_narrow_cs_clamped_membership(tmp_path):
+    """Regression (round-5 review): with cs < ci + bf_num the Bloom
+    membership must match the reference's cs-CLAMPED counters.  Ground
+    truth is init_from_pairs fed the clamped table (what the reference's
+    clamped database would contain)."""
+    from kmcex_tpu.count.pipeline import count_encode
+    from tests.test_byte_ranges import _write_fastq
+
+    fq = tmp_path / "reads.fastq"
+    _write_fastq(fq, n_reads=500, seed=13)
+    k, ci, cs = 19, 1, 1  # every counter clamps to 1 -> everything is low
+
+    km_pipe, kk, cc, _ = count_encode(str(fq), k=k, ci=ci, cs=cs)
+    assert cc.max() == 1  # clamped pairs
+    km_truth = get_model(ci, cs, 7, 5)
+    km_truth.init_from_pairs(kk, cc, k)
+    d_pipe = tmp_path / "m_pipe"
+    d_truth = tmp_path / "m_truth"
+    km_pipe.save(d_pipe)
+    km_truth.save(d_truth)
+    for name in ("header", "km.bin", "rest.bin"):
+        assert (d_pipe / name).read_bytes() == (d_truth / name).read_bytes(), name
+
+    # model-only fast path too (device bloom + drop): same bytes
+    km_fast, _, _, _ = count_encode(str(fq), k=k, ci=ci, cs=cs,
+                                    keep_pairs=False)
+    d_fast = tmp_path / "m_fast"
+    km_fast.save(d_fast)
+    for name in ("header", "km.bin", "rest.bin"):
+        assert (d_fast / name).read_bytes() == (d_truth / name).read_bytes(), name
 
 
 @pytest.mark.parametrize("ci", [1, 2])
@@ -152,12 +239,16 @@ def test_count_encode_device_bloom_model_identical(tmp_path, ci):
     _write_fastq(fq, n_reads=500, seed=5)
     k = 19  # generator reads are 20-60bp
 
+    prev = os.environ.get("KMCEX_DEVICE_BLOOM")
     os.environ["KMCEX_DEVICE_BLOOM"] = "0"
     try:
         km_host, kk, cc, _ = count_encode(str(fq), k=k, ci=ci,
                                           keep_pairs=True)
     finally:
-        os.environ["KMCEX_DEVICE_BLOOM"] = "1"
+        if prev is None:
+            os.environ.pop("KMCEX_DEVICE_BLOOM", None)
+        else:
+            os.environ["KMCEX_DEVICE_BLOOM"] = prev
     # fast path: no pairs kept, no DB -> low keys never reach the host
     km_dev, _, _, stats = count_encode(str(fq), k=k, ci=ci,
                                        keep_pairs=False)
